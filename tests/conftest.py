@@ -1,0 +1,45 @@
+"""Test harness configuration.
+
+The suite runs on the CPU backend with 8 virtual XLA host devices — the
+TPU-world "fake backend" for distributed tests (SURVEY.md §4): Pallas kernels
+run in interpreter mode (selected automatically by tileqr when the backend is
+not TPU) and the shard_map driver runs over an 8-device host mesh, so the
+identical code paths are exercised without TPU hardware. Set
+``TILEQR_TEST_TPU=1`` to instead run on the real TPU backend (compiled Mosaic
+kernels; the virtual-device flag is not applied).
+"""
+
+import os
+
+if not os.environ.get("TILEQR_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # fp64 oracles alongside fp32 paths
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(reason="requires TILEQR_TEST_TPU=1 and a TPU")
+    for item in items:
+        if "tpu_only" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu_only: needs a real TPU backend")
+    config.addinivalue_line("markers", "slow: long-running acceptance config")

@@ -1,0 +1,52 @@
+"""tileqr — TPU-native tiled QR decomposition in JAX/Pallas.
+
+A from-scratch TPU-first implementation of the capability surface of the CUDA
+reference project ``s10m/GPU-Tiled-QR-Decomposition`` (see SURVEY.md; the
+reference mount was empty, so parity is defined by SURVEY.md §2 /
+BASELINE.json:5): blocked Householder QR built from the classic tile-kernel
+algebra — GEQRT panel factorization with compact-WY V/T accumulation resident
+in VMEM, MXU-matmul trailing updates (LARFB/SSRFB), a communication-avoiding
+TSQR/TTQRT binary-tree reduction for tall-skinny matrices — plus explicit Q
+formation (ORGQR), QR-based least-squares solve, a vmapped batched path, and
+2D block-cyclic sharding via ``shard_map`` with ICI collectives.
+
+Public API
+----------
+- :func:`tileqr.qr` — blocked tiled QR, returns (Q, R) or packed factors.
+- :func:`tileqr.qr_factor` — factor only; returns :class:`QRFactors`.
+- :func:`tileqr.tsqr` — tall-skinny tree QR.
+- :func:`tileqr.qr_batched` — vmapped batched QR.
+- :func:`tileqr.orgqr` / :func:`tileqr.apply_q` — form/apply Q.
+- :func:`tileqr.lstsq` — QR-based least squares.
+- :func:`tileqr.qr_sharded` — 2D block-cyclic multi-chip QR.
+- :class:`tileqr.QRConfig` — tile/tree/precision configuration.
+"""
+
+from tileqr.core.config import QRConfig
+from tileqr.api import (
+    QRFactors,
+    apply_q,
+    lstsq,
+    orgqr,
+    qr,
+    qr_batched,
+    qr_factor,
+    tsqr,
+)
+from tileqr.drivers.sharded import qr_sharded
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QRConfig",
+    "QRFactors",
+    "apply_q",
+    "lstsq",
+    "orgqr",
+    "qr",
+    "qr_batched",
+    "qr_factor",
+    "qr_sharded",
+    "tsqr",
+    "__version__",
+]

@@ -1,0 +1,60 @@
+"""QR configuration (SURVEY.md §5 "Config/flag system").
+
+The reference exposes matrix size / tile size through argv [SURVEY.md §5,
+INFERRED]; here the equivalent is a small frozen dataclass threaded through
+the drivers. Hashable so it can be a static argument under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class QRConfig:
+    """Configuration for tiled QR runs.
+
+    Attributes:
+      nb: tile size (square nb×nb tiles). Must be a multiple of 128 on TPU
+        so tiles map exactly onto MXU/VPU native shapes; 256 is the
+        acceptance-config value (BASELINE.json:8).
+      ib: inner blocking inside the panel kernels: ``ib`` Householder columns
+        are produced with VPU rank-1 updates, then the rest of the tile is
+        updated with one MXU block-apply. Must divide nb.
+      dtype: compute dtype (fp32 is the acceptance dtype).
+      precision: jax.lax matmul precision used *inside* kernels. "highest"
+        (bf16x6 passes on v5e MXU) keeps fp32-accurate trailing updates;
+        "default" trades accuracy for speed.
+      interpret: run Pallas kernels in interpreter mode. ``None`` means
+        auto: interpret on non-TPU backends (so the whole test suite runs
+        on CPU), compiled Mosaic on TPU.
+      tree: panel-elimination tree for the square driver: "flat" is the
+        reference's sequential TSQRT chain; "binary" uses the TTQRT tree
+        within each panel column (CAQR-style, shorter critical path).
+      mesh_shape: (rows, cols) for the sharded driver.
+    """
+
+    nb: int = 256
+    ib: int = 32
+    dtype: jnp.dtype = jnp.float32
+    precision: str = "highest"
+    interpret: Optional[bool] = None
+    tree: str = "flat"
+    mesh_shape: Tuple[int, int] = (4, 2)
+
+    def __post_init__(self):
+        if self.nb % 8 != 0:
+            raise ValueError(f"nb={self.nb} must be a multiple of 8")
+        if self.nb % self.ib != 0:
+            raise ValueError(f"ib={self.ib} must divide nb={self.nb}")
+        if self.tree not in ("flat", "binary"):
+            raise ValueError(f"tree={self.tree!r} must be 'flat' or 'binary'")
+
+    def replace(self, **kw) -> "QRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = QRConfig()
