@@ -21,6 +21,12 @@ if not os.environ.get("TILEQR_TEST_TPU"):
 
 import jax  # noqa: E402
 
+if not os.environ.get("TILEQR_TEST_TPU"):
+    # The env var alone is not enough in this image: the axon sitecustomize
+    # registers the TPU backend and overrides JAX_PLATFORMS, but the config
+    # knob still wins if set before first backend use.
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)  # fp64 oracles alongside fp32 paths
 
 import numpy as np  # noqa: E402

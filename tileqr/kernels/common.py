@@ -1,0 +1,71 @@
+"""Shared kernel utilities: precision/interpret resolution, masks, matmul."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def resolve_precision(name: str) -> jax.lax.Precision:
+    return _PRECISIONS[name]
+
+
+def resolve_interpret(interpret) -> bool:
+    """None → auto: interpret Pallas kernels on non-TPU backends so the whole
+    suite runs on CPU (SURVEY.md §4 'fake backend' row; §5 race-detection row:
+    interpret mode is the Mosaic sanitizer path)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
+def dot(a, b, precision):
+    """MXU matmul with fp32 accumulation (pallas_guide: always set
+    preferred_element_type)."""
+    return jnp.dot(a, b, precision=precision, preferred_element_type=jnp.float32).astype(
+        a.dtype
+    )
+
+
+def dot_t(a, b, precision):
+    """aᵀ @ b without materializing the transpose (MXU-native contraction)."""
+    out = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(a.dtype)
+
+
+def tril_mask(m: int, n: int, k: int = 0):
+    """Boolean lower-triangle mask via broadcasted_iota (TPU needs ≥2D iota)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return rows >= cols - k
+
+
+def unit_lower(packed: jnp.ndarray) -> jnp.ndarray:
+    """V = strictly-lower(packed) + I — the implicit-unit-diagonal convention
+    of LAPACK GEQRT packed output (ref/tile_ops.py)."""
+    m, n = packed.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    v = jnp.where(rows > cols, packed, jnp.zeros_like(packed))
+    return v + jnp.where(rows == cols, jnp.ones_like(packed), jnp.zeros_like(packed))
+
+
+def triu(a: jnp.ndarray) -> jnp.ndarray:
+    m, n = a.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return jnp.where(rows <= cols, a, jnp.zeros_like(a))

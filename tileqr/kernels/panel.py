@@ -1,0 +1,103 @@
+"""Fused panel-column factorization: GEQRT + the full TSQRT sub-diagonal
+chain in ONE pallas_call (replaces the reference's per-tile kernel launches +
+stream/event DAG for the panel, SURVEY.md §2.1 C7 panel part, §3.1).
+
+Grid = (Mt − k,): step 0 runs GEQRT on the diagonal tile, steps i ≥ 1 run the
+TSQRT couple (R_kk, A[k+i][k]). The evolving R_kk never leaves the chip: it
+is carried in the ``r_out`` output buffer, whose constant index map makes
+Mosaic keep the same VMEM window across all grid steps (flushed to HBM once,
+at the end) — the TPU-native replacement for the CUDA chain's global-memory
+round-trips. Each step's tile A[k+i][k] is pipelined HBM→VMEM by Pallas while
+the previous couple computes.
+
+In-place packed output: the pallas_call aliases the full matrix A in→out and
+writes only the panel-column blocks (k+i, k); unvisited blocks keep their HBM
+content (Pallas only DMAs written blocks back).
+
+Outputs per panel: A' (packed: GEQRT packed tile at (k,k), V2 at (k+i,k)),
+final R_kk, T_geqrt (nb×nb), T2 stack ((Mt−k)×nb×nb, slot 0 zero).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tileqr.kernels.common import resolve_interpret, triu
+from tileqr.kernels.geqrt import geqrt_in_refs
+
+
+def _panel_kernel(a_pan_ref, a_out_ref, r_out_ref, tg_ref, t2_ref, at_scr, vt_scr, tt_scr):
+    nb = a_pan_ref.shape[0]
+    i = pl.program_id(0)
+    is_first = i == 0
+
+    # top lanes: the diagonal tile itself (GEQRT step) or the carried R;
+    # bottom lanes: zero (GEQRT step — masked ops never see them) or the
+    # sub-diagonal tile (TSQRT couple).
+    top = jnp.where(is_first, a_pan_ref[:].T, r_out_ref[:].T)
+    bot = jnp.where(is_first, jnp.zeros_like(a_pan_ref[:].T), a_pan_ref[:].T)
+    at_scr[:, :nb] = top
+    at_scr[:, nb:] = bot
+    vt_scr[:] = jnp.zeros_like(vt_scr)
+    tt_scr[:] = jnp.zeros_like(tt_scr)
+
+    geqrt_in_refs(at_scr, vt_scr, tt_scr, nb)
+
+    # carried R: at step 0 the packed top holds v's below the diagonal → mask;
+    # at later steps the strictly-lower part is exactly zero already.
+    r_out_ref[:] = triu(at_scr[:, :nb].T)
+
+    @pl.when(is_first)
+    def _():
+        a_out_ref[:] = at_scr[:, :nb].T  # packed GEQRT tile (R + v's)
+        tg_ref[:] = tt_scr[:].T
+        t2_ref[0] = jnp.zeros_like(t2_ref[0])
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        a_out_ref[:] = at_scr[:, nb:].T  # dense V2
+        t2_ref[0] = tt_scr[:].T
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nb", "interpret"))
+def panel_factor(a, k: int, nb: int, interpret: bool = False):
+    """Factor panel column k of A in place.
+
+    Returns (a', r_kk, t_geqrt, t2_stack) with a' aliased to a (donated).
+    """
+    m, n = a.shape
+    mt = m // nb
+    mt_rem = mt - k
+    dt = a.dtype
+    grid = (mt_rem,)
+    return pl.pallas_call(
+        _panel_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, nb), lambda i: (k + i, k), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((nb, nb), dt),
+            jax.ShapeDtypeStruct((nb, nb), dt),
+            jax.ShapeDtypeStruct((mt_rem, nb, nb), dt),
+        ),
+        out_specs=(
+            pl.BlockSpec((nb, nb), lambda i: (k + i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nb, 2 * nb), dt),
+            pltpu.VMEM((nb, 2 * nb), dt),
+            pltpu.VMEM((nb, nb), dt),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(a)
