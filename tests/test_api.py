@@ -1,0 +1,108 @@
+"""API-level tests: qr / tsqr / qr_batched / orgqr / apply_q / lstsq through
+the public package boundary, arbitrary (unpadded) shapes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tileqr
+from tileqr import QRConfig
+
+CFG = QRConfig(nb=64)
+
+
+def relerr(a, b):
+    return np.linalg.norm(np.asarray(a, np.float64) - np.asarray(b, np.float64)) / np.linalg.norm(
+        np.asarray(b, np.float64)
+    )
+
+
+@pytest.mark.parametrize("m,n", [(200, 200), (300, 100), (100, 40), (130, 130)])
+def test_qr_reduced(rng, m, n):
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG)
+    k = min(m, n)
+    assert q.shape == (m, k) and r.shape == (k, n)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.linalg.norm(a - q64 @ r64) / np.linalg.norm(a) < 3e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(k)) < 1e-4
+    assert np.allclose(r64[np.tril_indices(k, -1)], 0) if n >= k else True
+
+
+def test_qr_complete(rng):
+    m, n = 160, 96
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = tileqr.qr(a, mode="complete", config=CFG)
+    assert q.shape == (m, m) and r.shape == (m, n)
+    q64 = np.asarray(q, np.float64)
+    assert np.linalg.norm(a - q64 @ np.asarray(r, np.float64)) / np.linalg.norm(a) < 3e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(m)) < 1e-4
+
+
+def test_qr_r_mode_matches_numpy(rng):
+    a = rng.standard_normal((192, 192)).astype(np.float32)
+    r = np.asarray(tileqr.qr(a, mode="r", config=CFG), np.float64)
+    _, r_np = np.linalg.qr(a.astype(np.float64))
+    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r))
+    assert np.linalg.norm(r * s[:, None] - r_np) / np.linalg.norm(r_np) < 2e-5
+
+
+def test_tsqr_matches_qr(rng):
+    a = rng.standard_normal((1000, 48)).astype(np.float32)
+    r = np.asarray(tileqr.tsqr(a, config=CFG), np.float64)
+    _, r_np = np.linalg.qr(a.astype(np.float64))
+    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r))
+    assert np.linalg.norm(r * s[:, None] - r_np) / np.linalg.norm(r_np) < 2e-5
+
+
+def test_tsqr_reduced_q(rng):
+    a = rng.standard_normal((640, 64)).astype(np.float32)
+    q, r = tileqr.tsqr(a, mode="reduced", config=CFG)
+    q64 = np.asarray(q, np.float64)
+    assert q.shape == (640, 64)
+    assert np.linalg.norm(a - q64 @ np.asarray(r, np.float64)) / np.linalg.norm(a) < 3e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(64)) < 1e-4
+
+
+def test_qr_batched(rng):
+    a = rng.standard_normal((8, 96, 64)).astype(np.float32)
+    q, r = tileqr.qr_batched(a, config=CFG)
+    assert q.shape == (8, 96, 64) and r.shape == (8, 64, 64)
+    for i in range(8):
+        qi = np.asarray(q[i], np.float64)
+        assert np.linalg.norm(a[i] - qi @ np.asarray(r[i], np.float64)) / np.linalg.norm(a[i]) < 3e-6
+        assert np.linalg.norm(qi.T @ qi - np.eye(64)) < 1e-4
+
+
+def test_orgqr_apply_q_consistent(rng):
+    m, n = 256, 128
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = tileqr.qr_factor(a, CFG)
+    q = tileqr.orgqr(f, config=CFG)
+    c = rng.standard_normal((m, 32)).astype(np.float32)
+    qc_direct = tileqr.apply_q(f, np.vstack([c[:n], np.zeros((m - n, 32), np.float32)]), config=CFG)
+    qc_explicit = np.asarray(q) @ c[:n]
+    assert relerr(qc_direct, qc_explicit) < 5e-5
+
+
+def test_lstsq(rng):
+    m, n = 300, 80
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    x_true = rng.standard_normal((n,)).astype(np.float32)
+    b = a @ x_true + 0.01 * rng.standard_normal((m,)).astype(np.float32)
+    x = np.asarray(tileqr.lstsq(a, b, config=CFG), np.float64)
+    x_np, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64), rcond=None)
+    assert np.linalg.norm(x - x_np) / np.linalg.norm(x_np) < 1e-4
+    # multi-RHS
+    bm = rng.standard_normal((m, 3)).astype(np.float32)
+    xm = np.asarray(tileqr.lstsq(a, bm, config=CFG), np.float64)
+    xm_np, *_ = np.linalg.lstsq(a.astype(np.float64), bm.astype(np.float64), rcond=None)
+    assert np.linalg.norm(xm - xm_np) / np.linalg.norm(xm_np) < 1e-4
+
+
+def test_wide_matrix(rng):
+    m, n = 96, 200
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG)
+    assert q.shape == (m, m) and r.shape == (m, n)
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 3e-6

@@ -1,34 +1,170 @@
-"""Public API stubs — filled in as drivers land (build plan SURVEY.md §7.1)."""
+"""Public API (SURVEY.md §7.0 api.py; §3.4 build-side entry points).
+
+Entries: qr / qr_factor (square-blocked path), tsqr (tall-skinny tree path),
+qr_batched (vmapped tile path), orgqr / apply_q (Q formation/application —
+the reference's "Add" list, BASELINE.json:5), lstsq (QR-based least squares),
+qr_sharded (re-exported from drivers.sharded).
+
+All entries accept arbitrary (M, N); inputs are zero-padded to tile
+multiples (padding is exact for QR: padded rows/columns yield tau = 0
+reflectors and zero R blocks) and results are sliced back.
+"""
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+
+from tileqr.core.config import QRConfig
+from tileqr.core.layout import pad_to_tiles, round_up
+from tileqr.drivers.batched import qr_batched as _qr_batched
+from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
+from tileqr.drivers.tsqr import TSQRFactors, tsqr_apply_q, tsqr_factor
+from tileqr.kernels.common import resolve_interpret
 
 
 class QRFactors(NamedTuple):
-    """Packed tiled-QR factors (layout documented in ref/blocked_qr.py)."""
+    """Packed tiled-QR factors (layout: ref/blocked_qr.py docstring)."""
 
     packed: jnp.ndarray
+    r_diag: jnp.ndarray
     t_geqrt: jnp.ndarray
-    t_tsqrt: jnp.ndarray
+    t_tsqrt: Tuple[jnp.ndarray, ...]
     nb: int
-    shape: tuple
+    shape: Tuple[int, int]  # original (M, N) before padding
 
 
-def _nyi(name):
-    def f(*a, **k):
-        raise NotImplementedError(f"tileqr.{name} lands later in the build plan")
-
-    f.__name__ = name
-    return f
+def _cfg(config: Optional[QRConfig]) -> QRConfig:
+    return config if config is not None else QRConfig()
 
 
-qr = _nyi("qr")
-qr_factor = _nyi("qr_factor")
-tsqr = _nyi("tsqr")
-qr_batched = _nyi("qr_batched")
-orgqr = _nyi("orgqr")
-apply_q = _nyi("apply_q")
-lstsq = _nyi("lstsq")
+def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
+    """Factor A → packed tiled Householder form (no Q/R assembly)."""
+    cfg = _cfg(config)
+    a = jnp.asarray(a, dtype=cfg.dtype)
+    m, n = a.shape
+    ap, _ = pad_to_tiles(a, cfg.nb)
+    packed, r_diag, t_g, t_t = qr_tiled(
+        ap, cfg.nb, precision=cfg.precision, interpret=resolve_interpret(cfg.interpret)
+    )
+    return QRFactors(packed, r_diag, t_g, t_t, cfg.nb, (m, n))
+
+
+def apply_q(
+    f: QRFactors, c: jnp.ndarray, trans: bool = False, config: Optional[QRConfig] = None
+) -> jnp.ndarray:
+    """C ← Q C (or Qᵀ C). c: (M, P) in the ORIGINAL row dimension."""
+    cfg = _cfg(config).replace(nb=f.nb)
+    mp = f.packed.shape[0]
+    c = jnp.asarray(c, dtype=f.packed.dtype)
+    mc, p = c.shape
+    if mc != f.shape[0]:
+        raise ValueError(f"c rows {mc} != M {f.shape[0]}")
+    pp = round_up(max(p, 1), f.nb)
+    cp = jnp.pad(c, ((0, mp - mc), (0, pp - p)))
+    out = apply_q_tiled(
+        f.packed, f.t_geqrt, f.t_tsqrt, cp, f.nb,
+        trans=trans, precision=cfg.precision,
+        interpret=resolve_interpret(cfg.interpret),
+    )
+    return out[:mc, :p]
+
+
+def orgqr(f: QRFactors, ncols: Optional[int] = None, config: Optional[QRConfig] = None):
+    """Form Q explicitly: M×ncols (default: reduced, ncols = min(M, N)).
+
+    LAPACK xORGQR equivalent on the tiled factors (SURVEY.md §3.4)."""
+    m, n = f.shape
+    k = min(m, n) if ncols is None else ncols
+    eye = jnp.eye(m, k, dtype=f.packed.dtype)
+    return apply_q(f, eye, trans=False, config=config)
+
+
+def qr(
+    a: jnp.ndarray, mode: str = "reduced", config: Optional[QRConfig] = None
+):
+    """Tiled blocked QR. mode: "reduced" → (Q (M,K), R (K,N)); "complete" →
+    (Q (M,M), R (M,N)); "r" → R (K,N) only. K = min(M, N)."""
+    cfg = _cfg(config)
+    f = qr_factor(a, cfg)
+    m, n = f.shape
+    k = min(m, n)
+    r_full = assemble_r(f.packed, f.r_diag, f.nb)
+    if mode == "r":
+        return r_full[:k, :n]
+    if mode == "reduced":
+        q = orgqr(f, k, cfg)
+        return q, r_full[:k, :n]
+    if mode == "complete":
+        q = orgqr(f, m, cfg)
+        return q, r_full[:m, :n]
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def tsqr(
+    a: jnp.ndarray, mode: str = "r", config: Optional[QRConfig] = None
+):
+    """Communication-avoiding tall-skinny QR (TSQR/TTQRT tree path).
+
+    a: (M, n) with n <= nb. mode "r" → R (n, n); "reduced" → (Q (M, n), R);
+    "factor" → TSQRFactors (for tsqr_apply_q)."""
+    cfg = _cfg(config)
+    a = jnp.asarray(a, dtype=cfg.dtype)
+    m, n = a.shape
+    nb = cfg.nb
+    if n > nb:
+        raise ValueError(f"tsqr requires n={n} <= nb={nb}")
+    mp = round_up(m, nb)
+    np_ = round_up(n, 8)
+    ap = jnp.pad(a, ((0, mp - m), (0, np_ - n)))
+    f = tsqr_factor(ap, nb, interpret=cfg.interpret)
+    r = f.r[:n, :n]
+    if mode == "r":
+        return r
+    if mode == "factor":
+        return f
+    if mode == "reduced":
+        eye = jnp.eye(mp, np_, dtype=ap.dtype)
+        q = tsqr_apply_q(f, eye, trans=False, precision=cfg.precision, interpret=cfg.interpret)
+        return q[:m, :n], r
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def qr_batched(
+    a: jnp.ndarray, mode: str = "reduced", config: Optional[QRConfig] = None
+):
+    """Batched QR of (B, m, n) stacks of small matrices (single-tile path,
+    BASELINE.json:10)."""
+    cfg = _cfg(config)
+    a = jnp.asarray(a, dtype=cfg.dtype)
+    b, m, n = a.shape
+    mp, np_ = round_up(m, 8), round_up(n, 8)
+    ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, np_ - n)))
+    out = _qr_batched(
+        ap, mode=mode, precision=cfg.precision, interpret=resolve_interpret(cfg.interpret)
+    )
+    if mode == "r":
+        return out[:, :n, :n]
+    q, r = out
+    return q[:, :m, :n], r[:, :n, :n]
+
+
+def lstsq(a: jnp.ndarray, b: jnp.ndarray, config: Optional[QRConfig] = None):
+    """Least-squares solve min ‖Ax − b‖₂ via QR (M >= N, full rank).
+
+    b: (M,) or (M, P). Returns x: (N,) or (N, P). (SURVEY.md §3.4: apply Qᵀ
+    to b through the tiled reflectors, then back-solve on R.)"""
+    cfg = _cfg(config)
+    b_in = jnp.asarray(b, dtype=cfg.dtype)
+    vec = b_in.ndim == 1
+    bmat = b_in[:, None] if vec else b_in
+    m, n = a.shape
+    if m < n:
+        raise ValueError("lstsq requires M >= N")
+    f = qr_factor(a, cfg)
+    qtb = apply_q(f, bmat, trans=True, config=cfg)[:n]
+    r = assemble_r(f.packed, f.r_diag, f.nb)[:n, :n]
+    x = jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
+    return x[:, 0] if vec else x

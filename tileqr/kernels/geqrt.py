@@ -34,7 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tileqr.kernels.common import resolve_interpret
 
 
-def geqrt_in_refs(at_ref, vt_ref, tt_ref, kcols: int) -> None:
+def geqrt_in_refs(
+    at_ref,
+    vt_ref,
+    tt_ref,
+    kcols: int,
+    ib: int = 32,
+    precision=jax.lax.Precision.HIGHEST,
+) -> None:
     """Factor the tile held transposed in ``at_ref`` in place.
 
     at_ref: (n, m) VMEM scratch holding Aᵀ (sublane j = column j of A);
@@ -43,49 +50,87 @@ def geqrt_in_refs(at_ref, vt_ref, tt_ref, kcols: int) -> None:
       holds reflector v_j (unit at lane j).
     tt_ref: (n, n) VMEM scratch, must be zeroed; on exit holds Tᵀ.
     kcols: number of columns to eliminate (static).
+    ib: inner blocking (SURVEY.md §7.2 item 1): each ib-column block is
+      eliminated with VPU rank-1 updates confined to the block, then the rest
+      of the tile gets ONE MXU block-reflector apply and the off-diagonal T
+      is composed per block (T12 = -T1 (V1ᵀV2) T2, LAPACK xLARFT block
+      composition) — this moves ~(nb-ib)/nb of the panel flops from VPU
+      traversals onto the MXU.
     """
     n, m = at_ref.shape
     dt = at_ref.dtype
     one = jnp.ones((), dt)
     zero = jnp.zeros((), dt)
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)  # row ids of A
-    sub_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # col ids of A
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # col ids (lanes)
 
-    def step(j, _):
-        xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
-        alpha = jnp.sum(jnp.where(lane_r == j, xrow, zero))
-        tailsq = jnp.sum(jnp.where(lane_r > j, xrow * xrow, zero))
-        sgn = jnp.where(alpha >= 0, one, -one)
-        nrm = jnp.sqrt(alpha * alpha + tailsq)
-        has_tail = tailsq > 0
-        beta = jnp.where(has_tail, -sgn * nrm, alpha)
-        tau = jnp.where(has_tail, (beta - alpha) / beta, zero)
-        scale = jnp.where(has_tail, 1 / (alpha - beta), zero)
-        v = jnp.where(lane_r == j, one, jnp.where(lane_r > j, xrow * scale, zero))
-
-        # rank-1 trailing update of columns l > j: a[:, l] -= tau * v (v·a[:, l])
-        at = at_ref[:]
-        w = jnp.sum(at * v, axis=1, keepdims=True)  # (n, 1): w_l = v · a[:, l]
-        at_ref[:] = at - jnp.where(sub_c > j, tau * w, zero) * v
-
-        # packed column j: R entries above the diagonal kept, beta on it,
-        # v tail below it
-        at_ref[pl.ds(j, 1), :] = jnp.where(
-            lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
+    def contract_lanes(a, b):
+        out = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
         )
+        return out.astype(dt)
 
-        # incremental T: z = Vᵀ v_j (rows ≥ j of vt still zero),
-        # y_r = Σ_l T[r, l] z_l, column j of T = [-tau*y ; tau].
-        z = jnp.sum(vt_ref[:] * v, axis=1, keepdims=True)  # (n, 1)
-        y = jnp.sum(tt_ref[:] * z, axis=0, keepdims=True)  # (1, n)
-        tt_ref[pl.ds(j, 1), :] = jnp.where(
-            lane_c == j, tau, jnp.where(lane_c < j, -tau * y, zero)
-        )
-        vt_ref[pl.ds(j, 1), :] = v
-        return 0
+    for s in range(0, kcols, ib):
+        ibk = min(ib, kcols - s)  # static per block
+        sub_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, 1), 0)
+        lane_cb = jax.lax.broadcasted_iota(jnp.int32, (1, ibk), 1)
 
-    jax.lax.fori_loop(0, kcols, step, 0, unroll=False)
+        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b, lane_cb=lane_cb):
+            j = s + jj
+            xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
+            alpha = jnp.sum(jnp.where(lane_r == j, xrow, zero))
+            tailsq = jnp.sum(jnp.where(lane_r > j, xrow * xrow, zero))
+            sgn = jnp.where(alpha >= 0, one, -one)
+            nrm = jnp.sqrt(alpha * alpha + tailsq)
+            has_tail = tailsq > 0
+            beta = jnp.where(has_tail, -sgn * nrm, alpha)
+            tau = jnp.where(has_tail, (beta - alpha) / beta, zero)
+            scale = jnp.where(has_tail, 1 / (alpha - beta), zero)
+            v = jnp.where(lane_r == j, one, jnp.where(lane_r > j, xrow * scale, zero))
+
+            # rank-1 update confined to the block's columns (rows s..s+ibk of at)
+            blk = at_ref[s : s + ibk, :]
+            w = jnp.sum(blk * v, axis=1, keepdims=True)  # (ibk, 1)
+            at_ref[s : s + ibk, :] = blk - jnp.where(sub_b > jj, tau * w, zero) * v
+
+            # packed column j: R above the diagonal kept, beta on it, v below
+            at_ref[pl.ds(j, 1), :] = jnp.where(
+                lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
+            )
+
+            # block-local T build (rows ≥ jj of the vt block are still zero)
+            z = jnp.sum(vt_ref[s : s + ibk, :] * v, axis=1, keepdims=True)  # (ibk,1)
+            y = jnp.sum(tt_ref[s : s + ibk, s : s + ibk] * z, axis=0, keepdims=True)
+            tt_ref[pl.ds(j, 1), s : s + ibk] = jnp.where(
+                lane_cb == jj, tau, jnp.where(lane_cb < jj, -tau * y, zero)
+            )
+            vt_ref[pl.ds(j, 1), :] = v
+            return 0
+
+        jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
+
+        vt_b = vt_ref[s : s + ibk, :]  # (ibk, m) = V_bᵀ
+        tt_bb = tt_ref[s : s + ibk, s : s + ibk]  # (ibk, ibk) = T_bᵀ
+
+        # MXU block apply to all remaining columns: A_rest ← A_rest − V_b T_bᵀ V_bᵀ A_rest
+        if s + ibk < n:
+            at_rest = at_ref[s + ibk :, :]  # (n_rest, m) = A[:, rest]ᵀ
+            w1 = contract_lanes(at_rest, vt_b)  # (n_rest, ibk) = (V_bᵀ A_rest)ᵀ
+            w2 = contract_lanes(w1, tt_bb)  # = (T_bᵀ V_bᵀ A_rest)ᵀ
+            at_ref[s + ibk :, :] = at_rest - jnp.dot(
+                w2, vt_b, precision=precision, preferred_element_type=jnp.float32
+            ).astype(dt)
+
+        # off-diagonal T: T[0:s, s:s+ibk] = −T1 (V1ᵀ V_b) T_b, stored transposed
+        if s > 0:
+            zt = contract_lanes(vt_b, vt_ref[0:s, :])  # (ibk, s) = V_bᵀ V1
+            m2 = jnp.dot(
+                zt, tt_ref[0:s, 0:s], precision=precision,
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            tt_ref[s : s + ibk, 0:s] = -jnp.dot(
+                tt_bb, m2, precision=precision, preferred_element_type=jnp.float32
+            ).astype(dt)
 
 
 def _geqrt_kernel(a_ref, packed_ref, t_ref, at_scr, vt_scr, tt_scr):
