@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark entry (driver contract): prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric (BASELINE.json:2): tiled-QR fp32 TFLOP/s at N=8192 on one
+chip, vs_baseline = speedup over jnp.linalg.qr on the same device/dtype.
+
+Timing methodology (BASELINE.md notes + measured here): this environment's
+TPU is behind an RPC tunnel with a ~30 ms per-dispatch sync floor and an
+unreliable block_until_ready, so BOTH candidates are timed by chaining K
+dependent iterations inside ONE jitted executable and differencing a K-iter
+run against a 1-iter run (per-iter = (T_K - T_1)/(K - 1)), synced by a
+device→host transfer.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from tileqr.drivers.square import qr_tiled  # noqa: E402
+
+N = int(os.environ.get("TILEQR_BENCH_N", "8192"))
+NB = int(os.environ.get("TILEQR_BENCH_NB", "256"))
+PRECISION = os.environ.get("TILEQR_BENCH_PRECISION", "highest")
+CHAIN = int(os.environ.get("TILEQR_BENCH_CHAIN", "3"))
+
+
+def qr_flops(m, n):
+    return 2.0 * n * n * (m - n / 3.0)
+
+
+def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = np.asarray(leaf.ravel()[0])
+
+
+def run_once(f, x):
+    t0 = time.perf_counter()
+    sync(f(x))
+    return time.perf_counter() - t0
+
+
+def per_iter_time(make_chain, x, k):
+    fk, f1 = make_chain(k), make_chain(1)
+    sync(fk(x))
+    sync(f1(x))
+    tk = min(run_once(fk, x) for _ in range(3))
+    t1 = min(run_once(f1, x) for _ in range(3))
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    a = jnp.asarray(
+        np.random.default_rng(0).standard_normal((N, N)).astype(np.float32)
+    )
+
+    def make_ours(k):
+        @jax.jit
+        def f(x):
+            for _ in range(k):
+                x = qr_tiled(x, NB, precision=PRECISION, interpret=not on_tpu)[0]
+            return x
+
+        return f
+
+    def make_baseline(k):
+        @jax.jit
+        def f(x):
+            for _ in range(k):
+                q, r = jnp.linalg.qr(x)
+                x = q + r * jnp.float32(1e-6)
+            return x
+
+        return f
+
+    t_ours = per_iter_time(make_ours, a, CHAIN)
+    t_base = per_iter_time(make_baseline, a, CHAIN)
+    tflops = qr_flops(N, N) / t_ours / 1e12
+    print(
+        json.dumps(
+            {
+                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, {PRECISION})",
+                "value": round(tflops, 3),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(t_base / t_ours, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

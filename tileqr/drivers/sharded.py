@@ -1,7 +1,386 @@
-"""2D block-cyclic sharded QR driver — stub (SURVEY.md §7.1 step 7)."""
+"""2D block-cyclic multi-chip tiled QR via shard_map + ICI collectives.
+
+Build-plan addition (BASELINE.json:5 "Add … 2D block-cyclic sharding";
+SURVEY.md §3.4 qr_sharded, §5 comm-backend row): the reference is single-GPU
+with no distributed layer; this driver scales the same tile algebra across a
+2D ``jax.sharding.Mesh`` ('rows', 'cols') with XLA-lowered ICI collectives —
+``psum`` for the panel-column broadcast, static-permutation ``ppermute`` for
+the TTQRT reduction tree across mesh rows (the CAQR communication-avoiding
+structure: cross-chip traffic per panel is one nb-wide column broadcast plus
+log2(pr) R-tile exchanges and strip pair-exchanges, everything else local).
+
+Layout: tile (i, j) of the (Mt, Nt) tile grid lives on device
+(i % pr, j % pc); each device stores its tiles as one contiguous local
+matrix, so every device's trailing submatrix is a contiguous window of it.
+
+Static-shape discipline (SURVEY.md §7.2 item 3): per panel k the local
+window start differs by one tile between mesh rows (ceil((k-r)/pr)). Rather
+than branching, each local matrix is padded with TWO zero dummy tile
+rows/columns at the bottom/right and every window takes the maximal static
+size: zero tiles flow through GEQRT/TSQRT/SSRFB as tau = 0 no-ops, so the
+ragged edges neutralize themselves while all shapes stay uniform across the
+SPMD program.
+
+Per panel k (hierarchical CAQR):
+  1. masked-psum broadcast of the panel column along 'cols' → every device
+     factors its mesh-row's panel stack REDUNDANTLY (replicated compute
+     replaces a (V, T) broadcast — same traffic, simpler);
+  2. local chain: fused panel_factor kernel (GEQRT + TSQRT chain);
+  3. binary TTQRT tree over 'rows' (rotated so the tree root is the global
+     diagonal owner r_k = k % pr), V2/T2 kept per level;
+  4. local trailing update: fused couple_apply kernel (LARFB + SSRFB sweep);
+  5. strip-level TTMQR tree over 'rows' mirroring 3 (pair-exchange the
+     representative row strips, compact-WY couple matmuls, send halves back);
+  6. tree-root R becomes the global diagonal tile (masked psum-replicated).
+"""
 
 from __future__ import annotations
 
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
 
-def qr_sharded(*args, **kwargs):
-    raise NotImplementedError("qr_sharded lands in build-plan step 7")
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tileqr.core.config import QRConfig
+from tileqr.core.layout import round_up
+from tileqr.kernels.common import resolve_interpret, resolve_precision, triu
+from tileqr.kernels.panel import panel_factor
+from tileqr.kernels.ssrfb import ssrfb_body
+from tileqr.kernels.tsqrt import _tsqrt_call
+from tileqr.kernels.update import couple_apply
+
+
+def _to_local_layout(a: jnp.ndarray, nb: int, pr: int, pc: int) -> jnp.ndarray:
+    """(M, N) → (pr, pc, lm, ln): block-cyclic local matrices with tile
+    (i, j) at local tile (i // pr, j // pc) of device (i % pr, j % pc)."""
+    m, n = a.shape
+    mt, nt = m // nb, n // nb
+    t = a.reshape(mt // pr, pr, nb, nt // pc, pc, nb)
+    # (lmt, pr, nb, lnt, pc, nb) → (pr, pc, lmt, nb, lnt, nb)
+    t = t.transpose(1, 4, 0, 2, 3, 5)
+    return t.reshape(pr, pc, (mt // pr) * nb, (nt // pc) * nb)
+
+
+def _from_local_layout(t: jnp.ndarray, nb: int) -> jnp.ndarray:
+    pr, pc, lm, ln = t.shape
+    lmt, lnt = lm // nb, ln // nb
+    t = t.reshape(pr, pc, lmt, nb, lnt, nb).transpose(2, 0, 3, 4, 1, 5)
+    return t.reshape(lmt * pr * nb, lnt * pc * nb)
+
+
+class ShardedQRFactors(NamedTuple):
+    """Distributed factors. local: (pr, pc, lm, ln) packed local matrices
+    (sharded); r_diag: (K, nb, nb) final diagonal R tiles (replicated);
+    per-panel factor pytrees for apply (panel_packed/tg/t2 sharded per
+    device, tree_v2/tree_t2 per level)."""
+
+    local: jnp.ndarray
+    r_diag: jnp.ndarray
+    panels: Tuple  # per k: (pk_col (pr,pc,wr*nb,nb), tg, t2, tree (per lvl))
+    nb: int
+    shape: Tuple[int, int]
+    grid: Tuple[int, int, int, int]  # (mt, nt, pr, pc)
+
+
+def _tree_perms(pr: int, r_k: int):
+    """Static ppermute permutations per tree level, rotated so rotated index
+    t = (r - r_k) % pr and the root is t = 0. Returns per level:
+    (down_perm, up_perm, d): down sends t+d → t for t % 2d == 0; up reverses."""
+    levels = []
+    d = 1
+    while d < pr:
+        down, up = [], []
+        for t in range(0, pr, 2 * d):
+            if t + d < pr:
+                src = (t + d + r_k) % pr
+                dst = (t + r_k) % pr
+                down.append((src, dst))
+                up.append((dst, src))
+        levels.append((tuple(down), tuple(up), d))
+        d *= 2
+    return levels
+
+
+def qr_sharded_factor(
+    a: jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+    config: Optional[QRConfig] = None,
+) -> ShardedQRFactors:
+    """Factor A across a 2D device mesh. Returns distributed factors; use
+    ``assemble_r_sharded`` for R and ``apply_q_sharded`` for Q products."""
+    cfg = config if config is not None else QRConfig()
+    nb = cfg.nb
+    if mesh is None:
+        pr, pc = cfg.mesh_shape
+        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+    pr, pc = mesh.devices.shape
+    interpret = resolve_interpret(cfg.interpret)
+    prec_name = cfg.precision
+    prec = resolve_precision(prec_name)
+
+    a = jnp.asarray(a, cfg.dtype)
+    m, n = a.shape
+    mp = round_up(m, nb * pr)
+    np_ = round_up(n, nb * pc)
+    a = jnp.pad(a, ((0, mp - m), (0, np_ - n)))
+    mt, nt = mp // nb, np_ // nb
+    k_max = min(mt, nt)
+    lmt, lnt = mt // pr, nt // pc
+
+    local = _to_local_layout(a, nb, pr, pc)
+    # two dummy zero tile rows + columns per device (static-window padding)
+    local = jnp.pad(local, ((0, 0), (0, 0), (0, 2 * nb), (0, 2 * nb)))
+    lm_pad, ln_pad = local.shape[2], local.shape[3]
+
+    def body(loc):
+        loc = loc[0, 0]
+        r = jax.lax.axis_index("rows")
+        c = jax.lax.axis_index("cols")
+        r_diags, panels = [], []
+        for k in range(k_max):
+            r_k, c_k = k % pr, k % pc
+            lik = k // pr  # static
+            ljk = k // pc  # static: local col of panel on owner column
+            wrows = lmt + 1 - lik  # static; covers all real rows + >=1 dummy
+            ljs_base = (k + 1) // pc  # static
+            wcols = lnt + 1 - ljs_base  # static
+            skip_r = (r < r_k).astype(jnp.int32)
+            skip_c = (c < (k + 1) % pc).astype(jnp.int32)
+            ls = ((lik + skip_r) * nb).astype(jnp.int32)
+            ljs = ((ljs_base + skip_c) * nb).astype(jnp.int32)
+            i32 = lambda v: jnp.int32(v)  # noqa: E731
+
+            # 1. panel-column broadcast along 'cols' (masked psum)
+            pcol_own = jax.lax.dynamic_slice(
+                loc, (ls, i32(ljk * nb)), (wrows * nb, nb)
+            )
+            is_owner = (c == c_k).astype(loc.dtype)
+            pcol = jax.lax.psum(pcol_own * is_owner, "cols")
+
+            # 2. local chain (fused GEQRT + TSQRT kernel)
+            pk_col, r_loc, tg, t2 = panel_factor(pcol, 0, nb, interpret=interpret)
+            # write the packed panel column back on the owner column
+            loc_upd = jax.lax.dynamic_update_slice(loc, pk_col, (ls, i32(ljk * nb)))
+            loc = jnp.where(c == c_k, loc_upd, loc)
+
+            # 3. TTQRT tree over mesh rows
+            levels = _tree_perms(pr, r_k)
+            t_rot = (r - r_k) % pr
+            rcur = r_loc
+            tree = []
+            for down, up, d in levels:
+                recv = jax.lax.ppermute(rcur, "rows", down)
+                rnew, v2l, t2l = _tsqrt_call(rcur, recv, interpret)
+                is_root_side = (t_rot % (2 * d) == 0) & (t_rot + d < pr)
+                rcur = jnp.where(is_root_side, triu(rnew), rcur)
+                tree.append((v2l, t2l))
+
+            # final diagonal R tile: tree root is rotated t = 0 (device r_k);
+            # replicate via masked psum over both axes
+            root_mask = ((r == r_k) & (c == c_k)).astype(loc.dtype)
+            r_diags.append(jax.lax.psum(rcur * root_mask, ("rows", "cols")))
+
+            # 4. local trailing update + 5. strip tree (skip when no cols)
+            window = jax.lax.dynamic_slice(
+                loc, (ls, ljs), (wrows * nb, wcols * nb)
+            )
+            window, strip = couple_apply(
+                pk_col, tg, t2, window, 0, 0, nb,
+                trans=True, reverse=False, precision=prec_name,
+                interpret=interpret,
+            )
+            for (down, up, d), (v2l, t2l) in zip(levels, tree):
+                recv = jax.lax.ppermute(strip, "rows", down)
+                new_top, new_bot = ssrfb_body(v2l, t2l, strip, recv, True, prec)
+                back = jax.lax.ppermute(new_bot, "rows", up)
+                is_root_side = (t_rot % (2 * d) == 0) & (t_rot + d < pr)
+                is_leaf_side = (t_rot % (2 * d) == d)
+                strip = jnp.where(
+                    is_root_side, new_top, jnp.where(is_leaf_side, back, strip)
+                )
+            window = jax.lax.dynamic_update_slice(window, strip, (i32(0), i32(0)))
+            loc = jax.lax.dynamic_update_slice(loc, window, (ls, ljs))
+
+            panels.append((pk_col[None, None], tg[None, None], t2[None, None],
+                           tuple((v[None, None], t[None, None]) for v, t in tree)))
+
+        r_diag = jnp.stack(r_diags)
+        return loc[None, None], r_diag, tuple(panels)
+
+    out_panel_spec = (P("rows", "cols"), P("rows", "cols"), P("rows", "cols"))
+
+    local_out, r_diag, panels = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("rows", "cols"),),
+        out_specs=(
+            P("rows", "cols"),
+            P(),
+            tuple(
+                out_panel_spec + (tuple((P("rows", "cols"), P("rows", "cols")) for _ in _tree_perms(pr, 0)),)
+                for _ in range(k_max)
+            ),
+        ),
+        check_vma=False,
+    )(local)
+
+    return ShardedQRFactors(
+        local_out, r_diag, panels, nb, (m, n), (mt, nt, pr, pc)
+    )
+
+
+def assemble_r_sharded(f: ShardedQRFactors):
+    """Gather + unpack the sharded factors into the (M-orig, N-orig) R.
+
+    Host-side (device_get): the gathered global matrix is an output artifact,
+    not a compute operand, and XLA cannot globally reshape a sharded array.
+    """
+    import numpy as np
+
+    mt, nt, pr, pc = f.grid
+    nb = f.nb
+    local = np.asarray(jax.device_get(f.local))[
+        :, :, : (mt // pr) * nb, : (nt // pc) * nb
+    ]  # drop dummy pads
+    lmt, lnt = mt // pr, nt // pc
+    t = local.reshape(pr, pc, lmt, nb, lnt, nb).transpose(2, 0, 3, 4, 1, 5)
+    full = t.reshape(mt * nb, nt * nb)
+    r = np.triu(full)
+    k_max = min(mt, nt)
+    r_diag = np.asarray(jax.device_get(f.r_diag))
+    for k in range(k_max):
+        r[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] = np.triu(r_diag[k])
+    m, n = f.shape
+    return r[:m, :n]
+
+
+def apply_q_sharded(
+    f: ShardedQRFactors,
+    c: jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+    trans: bool = True,
+    config: Optional[QRConfig] = None,
+):
+    """C ← Qᵀ C (trans) or Q C with the distributed factors — replays the
+    factor phases (local chain + row tree) on C's row windows. c: (M, P)."""
+    cfg = config if config is not None else QRConfig(nb=f.nb)
+    nb = f.nb
+    mt, nt, pr, pc = f.grid
+    if mesh is None:
+        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+    interpret = resolve_interpret(cfg.interpret)
+    prec_name = cfg.precision
+    prec = resolve_precision(prec_name)
+    k_max = min(mt, nt)
+    lmt = mt // pr
+
+    c = jnp.asarray(c, f.local.dtype)
+    mc, p = c.shape
+    mpad = mt * nb
+    ppad = round_up(max(p, 1), nb * pc)
+    cp = jnp.pad(c, ((0, mpad - mc), (0, ppad - p)))
+    cl = _to_local_layout(cp, nb, pr, pc)
+    cl = jnp.pad(cl, ((0, 0), (0, 0), (0, 2 * nb), (0, 0)))
+    lp = cl.shape[3]  # local column width (all columns take part)
+
+    def body(cloc, panels):
+        cloc = cloc[0, 0]
+        r = jax.lax.axis_index("rows")
+
+        def one_panel(cloc, k, pk_col, tg, t2, tree):
+            r_k = k % pr
+            lik = k // pr
+            wrows = lmt + 1 - lik
+            skip_r = (r < r_k).astype(jnp.int32)
+            ls = ((lik + skip_r) * nb).astype(jnp.int32)
+            levels = _tree_perms(pr, r_k)
+            t_rot = (r - r_k) % pr
+            window = jax.lax.dynamic_slice(cloc, (ls, jnp.int32(0)), (wrows * nb, lp))
+
+            def strip_tree(strip, level_iter, tr):
+                for (down, up, d), (v2l, t2l) in level_iter:
+                    recv = jax.lax.ppermute(strip, "rows", down)
+                    new_top, new_bot = ssrfb_body(v2l, t2l, strip, recv, tr, prec)
+                    back = jax.lax.ppermute(new_bot, "rows", up)
+                    root_side = (t_rot % (2 * d) == 0) & (t_rot + d < pr)
+                    leaf_side = t_rot % (2 * d) == d
+                    strip = jnp.where(
+                        root_side, new_top, jnp.where(leaf_side, back, strip)
+                    )
+                return strip
+
+            if trans:
+                window, strip = couple_apply(
+                    pk_col, tg, t2, window, 0, 0, nb,
+                    trans=True, reverse=False, precision=prec_name,
+                    interpret=interpret,
+                )
+                strip = strip_tree(strip, list(zip(levels, tree)), True)
+            else:
+                strip = window[0:nb, :]
+                strip = strip_tree(
+                    strip, list(zip(levels, tree))[::-1], False
+                )
+                window = jax.lax.dynamic_update_slice(
+                    window, strip, (jnp.int32(0), jnp.int32(0))
+                )
+                window, strip = couple_apply(
+                    pk_col, tg, t2, window, 0, 0, nb,
+                    trans=False, reverse=True, precision=prec_name,
+                    interpret=interpret,
+                )
+            window = jax.lax.dynamic_update_slice(
+                window, strip, (jnp.int32(0), jnp.int32(0))
+            )
+            return jax.lax.dynamic_update_slice(cloc, window, (ls, jnp.int32(0)))
+
+        ks = range(k_max) if trans else range(k_max - 1, -1, -1)
+        for k in ks:
+            pk_col, tg, t2, tree = panels[k]
+            cloc = one_panel(
+                cloc, k, pk_col[0, 0], tg[0, 0], t2[0, 0],
+                tuple((v[0, 0], t[0, 0]) for v, t in tree),
+            )
+        return cloc[None, None]
+
+    panel_spec = tuple(
+        (P("rows", "cols"), P("rows", "cols"), P("rows", "cols"),
+         tuple((P("rows", "cols"), P("rows", "cols")) for _ in _tree_perms(pr, 0)))
+        for _ in range(k_max)
+    )
+    cl_out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("rows", "cols"), panel_spec),
+        out_specs=P("rows", "cols"),
+        check_vma=False,
+    )(cl, f.panels)
+
+    import numpy as np
+
+    lo = np.asarray(jax.device_get(cl_out))[:, :, : lmt * nb, :]
+    lnt_c = lp // nb
+    t = lo.reshape(pr, pc, lmt, nb, lnt_c, nb).transpose(2, 0, 3, 4, 1, 5)
+    full = t.reshape(mt * nb, lnt_c * pc * nb)
+    return full[:mc, :p]
+
+
+def qr_sharded(
+    a: jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+    config: Optional[QRConfig] = None,
+    mode: str = "r",
+):
+    """2D block-cyclic sharded QR (BASELINE.json:11 config).
+
+    mode "r" → R (M, N); "factor" → ShardedQRFactors.
+    """
+    f = qr_sharded_factor(a, mesh, config)
+    if mode == "factor":
+        return f
+    if mode == "r":
+        return assemble_r_sharded(f)
+    raise ValueError(f"unknown mode {mode!r}")
