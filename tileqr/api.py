@@ -47,7 +47,8 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     m, n = a.shape
     ap, _ = pad_to_tiles(a, cfg.nb)
     packed, r_diag, t_g, t_t = qr_tiled(
-        ap, cfg.nb, precision=cfg.precision, interpret=resolve_interpret(cfg.interpret)
+        ap, cfg.nb, ib=cfg.ib, precision=cfg.precision,
+        interpret=resolve_interpret(cfg.interpret),
     )
     return QRFactors(packed, r_diag, t_g, t_t, cfg.nb, (m, n))
 

@@ -161,7 +161,7 @@ def qr_sharded_factor(
             pcol = jax.lax.psum(pcol_own * is_owner, "cols")
 
             # 2. local chain (fused GEQRT + TSQRT kernel)
-            pk_col, r_loc, tg, t2 = panel_factor(pcol, 0, nb, interpret=interpret)
+            pk_col, r_loc, tg, t2 = panel_factor(pcol, 0, nb, ib=cfg.ib, interpret=interpret)
             # write the packed panel column back on the owner column
             loc_upd = jax.lax.dynamic_update_slice(loc, pk_col, (ls, i32(ljk * nb)))
             loc = jnp.where(c == c_k, loc_upd, loc)

@@ -27,9 +27,9 @@ from tileqr.kernels.panel import panel_factor
 from tileqr.kernels.update import couple_apply, larfb_row
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "precision", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "ib", "precision", "interpret"))
 def qr_tiled(
-    a: jnp.ndarray, nb: int, precision: str = "highest", interpret: bool = False
+    a: jnp.ndarray, nb: int, ib: int = 32, precision: str = "highest", interpret: bool = False
 ):
     """Factor A (M, N; multiples of nb) in place.
 
@@ -50,7 +50,7 @@ def qr_tiled(
     t_geqrt = []
     t_tsqrt = []
     for k in range(k_max):
-        a, r_k, tg_k, t2_k = panel_factor(a, k, nb, interpret=interpret)
+        a, r_k, tg_k, t2_k = panel_factor(a, k, nb, ib=ib, interpret=interpret)
         r_diag.append(r_k)
         t_geqrt.append(tg_k)
         t_tsqrt.append(t2_k)

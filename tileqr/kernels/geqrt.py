@@ -73,9 +73,8 @@ def geqrt_in_refs(
     for s in range(0, kcols, ib):
         ibk = min(ib, kcols - s)  # static per block
         sub_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, 1), 0)
-        lane_cb = jax.lax.broadcasted_iota(jnp.int32, (1, ibk), 1)
 
-        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b, lane_cb=lane_cb):
+        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b):
             j = s + jj
             xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
             alpha = jnp.sum(jnp.where(lane_r == j, xrow, zero))
@@ -98,11 +97,18 @@ def geqrt_in_refs(
                 lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
             )
 
-            # block-local T build (rows ≥ jj of the vt block are still zero)
+            # block-local T build (rows ≥ jj of the vt block are still zero).
+            # Full-lane-width compute/store (Mosaic rejects dynamic stores at
+            # unaligned lane offsets): tt block rows hold T[r, s+l] across all
+            # lanes r, so the block matvec lands at the right global lanes,
+            # and lanes outside [s, j) are zero (T upper-tri + unwritten).
             z = jnp.sum(vt_ref[s : s + ibk, :] * v, axis=1, keepdims=True)  # (ibk,1)
-            y = jnp.sum(tt_ref[s : s + ibk, s : s + ibk] * z, axis=0, keepdims=True)
-            tt_ref[pl.ds(j, 1), s : s + ibk] = jnp.where(
-                lane_cb == jj, tau, jnp.where(lane_cb < jj, -tau * y, zero)
+            y = jnp.sum(tt_ref[s : s + ibk, :] * z, axis=0, keepdims=True)  # (1, n)
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            tt_ref[pl.ds(j, 1), :] = jnp.where(
+                lane_t == j,
+                tau,
+                jnp.where((lane_t >= s) & (lane_t < j), -tau * y, zero),
             )
             vt_ref[pl.ds(j, 1), :] = v
             return 0

@@ -31,7 +31,8 @@ from tileqr.kernels.common import resolve_interpret, triu
 from tileqr.kernels.geqrt import geqrt_in_refs
 
 
-def _panel_kernel(a_pan_ref, a_out_ref, r_out_ref, tg_ref, t2_ref, at_scr, vt_scr, tt_scr):
+def _mk_panel_kernel(ib: int):
+  def _panel_kernel(a_pan_ref, a_out_ref, r_out_ref, tg_ref, t2_ref, at_scr, vt_scr, tt_scr):
     nb = a_pan_ref.shape[0]
     i = pl.program_id(0)
     is_first = i == 0
@@ -46,7 +47,7 @@ def _panel_kernel(a_pan_ref, a_out_ref, r_out_ref, tg_ref, t2_ref, at_scr, vt_sc
     vt_scr[:] = jnp.zeros_like(vt_scr)
     tt_scr[:] = jnp.zeros_like(tt_scr)
 
-    geqrt_in_refs(at_scr, vt_scr, tt_scr, nb)
+    geqrt_in_refs(at_scr, vt_scr, tt_scr, nb, ib=ib)
 
     # carried R: at step 0 the packed top holds v's below the diagonal → mask;
     # at later steps the strictly-lower part is exactly zero already.
@@ -63,20 +64,27 @@ def _panel_kernel(a_pan_ref, a_out_ref, r_out_ref, tg_ref, t2_ref, at_scr, vt_sc
         a_out_ref[:] = at_scr[:, nb:].T  # dense V2
         t2_ref[0] = tt_scr[:].T
 
+  return _panel_kernel
 
-@functools.partial(jax.jit, static_argnames=("k", "nb", "interpret"))
-def panel_factor(a, k: int, nb: int, interpret: bool = False):
+
+@functools.partial(jax.jit, static_argnames=("k", "nb", "ib", "interpret"))
+def panel_factor(a, k: int, nb: int, ib: int = 32, interpret: bool = False):
     """Factor panel column k of A in place.
 
     Returns (a', r_kk, t_geqrt, t2_stack) with a' aliased to a (donated).
     """
     m, n = a.shape
+    if not interpret and nb % 128 != 0:
+        raise ValueError(
+            f"nb={nb} must be a multiple of 128 for compiled TPU kernels "
+            "(lane alignment); smaller nb runs only in interpret mode"
+        )
     mt = m // nb
     mt_rem = mt - k
     dt = a.dtype
     grid = (mt_rem,)
     return pl.pallas_call(
-        _panel_kernel,
+        _mk_panel_kernel(ib),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nb, nb), lambda i: (k + i, k), memory_space=pltpu.VMEM),
