@@ -30,6 +30,7 @@ from tileqr.drivers.square import qr_tiled  # noqa: E402
 
 N = int(os.environ.get("TILEQR_BENCH_N", "8192"))
 NB = int(os.environ.get("TILEQR_BENCH_NB", "256"))
+CHUNK = int(os.environ.get("TILEQR_BENCH_CHUNK", "4"))
 PRECISION = os.environ.get("TILEQR_BENCH_PRECISION", "highest")
 CHAIN = int(os.environ.get("TILEQR_BENCH_CHAIN", "3"))
 
@@ -68,7 +69,7 @@ def main():
         @jax.jit
         def f(x):
             for _ in range(k):
-                x = qr_tiled(x, NB, precision=PRECISION, interpret=not on_tpu)[0]
+                x = qr_tiled(x, NB, chunk=CHUNK, precision=PRECISION, interpret=not on_tpu)[0]
             return x
 
         return f
@@ -89,7 +90,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, {PRECISION})",
+                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, chunk={CHUNK}, {PRECISION})",
                 "value": round(tflops, 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(t_base / t_ours, 3),

@@ -49,7 +49,7 @@ def per_iter(make_chain, x, k, reps=3):
     return max((tk - t1) / (k - 1), 1e-9)
 
 
-def bench_square(n, nb, ib, precision, chain, check):
+def bench_square(n, nb, ib, precision, chain, check, chunk=4):
     from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
 
     on_tpu = jax.default_backend() == "tpu"
@@ -59,23 +59,23 @@ def bench_square(n, nb, ib, precision, chain, check):
         @jax.jit
         def f(x):
             for _ in range(k):
-                x = qr_tiled(x, nb, ib=ib, precision=precision, interpret=not on_tpu)[0]
+                x = qr_tiled(x, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu)[0]
             return x
 
         return f
 
     t = per_iter(make, a, chain)
     rec = {
-        "bench": "qr_square", "n": n, "nb": nb, "ib": ib,
+        "bench": "qr_square", "n": n, "nb": nb, "ib": ib, "chunk": chunk,
         "precision": precision, "ms": round(t * 1e3, 3),
         "tflops": round(qr_flops(n, n) / t / 1e12, 3),
         "backend": jax.default_backend(),
     }
     if check:
-        packed, r_diag, t_g, t_t = qr_tiled(a, nb, ib=ib, precision=precision, interpret=not on_tpu)
+        packed, r_diag, t_g, t_t = qr_tiled(a, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu)
         r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
         qta = np.asarray(
-            apply_q_tiled(packed, t_g, t_t, a, nb, trans=True, precision=precision, interpret=not on_tpu)
+            apply_q_tiled(packed, t_g, t_t, a, nb, chunk=chunk, trans=True, precision=precision, interpret=not on_tpu)
         ).astype(np.float64)
         rec["relerr"] = float(np.linalg.norm(qta - r) / np.linalg.norm(np.asarray(a)))
     return rec
@@ -163,6 +163,7 @@ def main():
     ap.add_argument("--cols", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--chain", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--check", action="store_true", help="also compute relerr")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (interpret-mode kernels); the "
@@ -177,7 +178,7 @@ def main():
             for nb in [int(x) for x in args.nbs.split(",")]:
                 for ib in [int(x) for x in args.ibs.split(",")]:
                     for prec in args.precisions.split(","):
-                        print(json.dumps(bench_square(n, nb, ib, prec, args.chain, args.check)), flush=True)
+                        print(json.dumps(bench_square(n, nb, ib, prec, args.chain, args.check, args.chunk)), flush=True)
         elif args.mode == "baseline":
             print(json.dumps(bench_jnp_qr(n, args.chain)), flush=True)
         elif args.mode == "tsqr":

@@ -31,6 +31,11 @@ class QRConfig:
       interpret: run Pallas kernels in interpreter mode. ``None`` means
         auto: interpret on non-TPU backends (so the whole test suite runs
         on CPU), compiled Mosaic on TPU.
+      chunk: sub-diagonal couple height in tiles for the square driver
+        (kernels/chain.py): 1 reproduces the reference's flat-tree tile
+        algebra exactly; larger values cut the latency-bound panel
+        column-loop count by ~chunk x. The driver reduces it to the largest
+        divisor of the row-tile count.
       tree: panel-elimination tree for the square driver: "flat" is the
         reference's sequential TSQRT chain; "binary" uses the TTQRT tree
         within each panel column (CAQR-style, shorter critical path).
@@ -39,6 +44,7 @@ class QRConfig:
 
     nb: int = 256
     ib: int = 32
+    chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     interpret: Optional[bool] = None

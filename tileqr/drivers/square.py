@@ -3,16 +3,23 @@
 The reference drives the tile DAG with a host loop launching CUDA kernels on
 streams with events + right-looking lookahead [BASELINE.json:5]. The TPU-
 native replacement: a trace-time-unrolled Python loop over panels inside one
-``jax.jit``, emitting TWO fused pallas_calls per panel — panel_factor (GEQRT
-+ TSQRT chain, kernels/panel.py) and couple_apply (LARFB + SSRFB sweep,
-kernels/update.py). Concurrency that CUDA got from streams comes instead
-from *within* each fused kernel: Pallas double-buffers the tile DMAs against
-compute, and XLA schedules the (already coarse-grained) calls back-to-back.
-All updates are in place via input/output aliasing on the single HBM matrix
-buffer; tile shapes are static per (shape, nb), so each matrix shape compiles
-once (SURVEY.md §7.2 item 3).
+``jax.jit``, emitting a handful of fused pallas_calls per panel; concurrency
+that CUDA got from streams comes from *within* each fused kernel (Pallas
+double-buffers tile DMAs against compute). All updates are in place via
+input/output aliasing on the single HBM matrix buffer; shapes are static per
+(shape, nb, chunk), so each matrix shape compiles once (SURVEY.md §7.2 #3).
 
-Factor layout: see ref/blocked_qr.py (identical, tile-for-tile comparable).
+Chunked elimination (kernels/chain.py): the sub-diagonal is processed in
+couples of ``chunk`` tiles (plus a ≤chunk-1 tile "head" at tile granularity
+for block alignment). chunk=1 reproduces the reference's flat-tree tile
+algebra exactly; larger chunks cut the latency-bound panel column-loop count
+by ~chunk× and the update flops by up to 1/3 (amortized T-apply). The
+factorization is a valid Householder QR for any chunk; tile-exact
+comparisons against the flat-tree oracle require chunk=1.
+
+Per panel k (calls): panel_factor (GEQRT + head TSQRT chain) → panel_chain
+(chunked TSQRT chain, carried R) → larfb_strip → couple_strip (head) →
+couple_strip (chunks).
 """
 
 from __future__ import annotations
@@ -23,50 +30,87 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from tileqr.kernels.chain import couple_strip, larfb_strip, panel_chain
 from tileqr.kernels.panel import panel_factor
-from tileqr.kernels.update import couple_apply, larfb_row
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "ib", "precision", "interpret"))
+def _chunk_for(mt: int, chunk: int) -> int:
+    """Largest c <= chunk dividing mt (static, deterministic per shape)."""
+    for c in range(min(chunk, mt), 0, -1):
+        if mt % c == 0:
+            return c
+    return 1
+
+
+def _segments(k: int, mt: int, c: int) -> Tuple[int, int, int]:
+    """(n_head, base_block, n_chunks) for panel k's sub-diagonal."""
+    rem = mt - k - 1
+    n_head = min((c - (k + 1) % c) % c, rem)
+    align = k + 1 + n_head
+    n_chunks = (mt - align) // c
+    return n_head, align // c, n_chunks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "ib", "chunk", "precision", "interpret")
+)
 def qr_tiled(
-    a: jnp.ndarray, nb: int, ib: int = 32, precision: str = "highest", interpret: bool = False
+    a: jnp.ndarray,
+    nb: int,
+    ib: int = 32,
+    chunk: int = 4,
+    precision: str = "highest",
+    interpret: bool = False,
 ):
     """Factor A (M, N; multiples of nb) in place.
 
     Returns (packed, r_diag, t_geqrt, t_tsqrt):
-      packed: (M, N) — V's below the diagonal blocks, R above; the upper
-        triangles of the *diagonal* tiles are stale (the final R_kk of each
-        panel lives in r_diag — the chain carries R on-chip and flushes it
-        separately to avoid re-writing the packed tile every couple).
-      r_diag: (K, nb, nb) final diagonal R tiles.
-      t_geqrt: (K, nb, nb) compact-WY T per panel.
-      t_tsqrt: tuple of K arrays, (Mt-k, nb, nb) each (slot 0 zero).
+      packed: (M, N) — V's below the diagonal blocks (head tiles at nb
+        granularity, chunk couples as (chunk·nb, nb) dense V2 blocks), R
+        above; diagonal tiles' upper triangles are stale (final R_kk per
+        panel is in r_diag — the chain carries R on-chip).
+      r_diag: (K, nb, nb); t_geqrt: (K, nb, nb).
+      t_tsqrt: tuple over k of (t2_head (1+n_head, nb, nb), t2_chunks
+        (n_chunks, nb, nb)) — slot 0 of t2_head is unused (GEQRT slot).
     """
     m, n = a.shape
     mt, nt = m // nb, n // nb
     k_max = min(mt, nt)
+    c = _chunk_for(mt, chunk)
 
-    r_diag = []
-    t_geqrt = []
-    t_tsqrt = []
+    r_diag, t_geqrt, t_tsqrt = [], [], []
     for k in range(k_max):
-        a, r_k, tg_k, t2_k = panel_factor(a, k, nb, ib=ib, interpret=interpret)
+        n_head, base, nc = _segments(k, mt, c)
+        a, r_k, tg_k, t2h = panel_factor(
+            a, k, nb, ib=ib, n_couples=n_head, interpret=interpret
+        )
+        if nc > 0:
+            a, r_k, t2t = panel_chain(
+                a, r_k, k, nb, base, nc, c * nb, ib=ib, interpret=interpret
+            )
+        else:
+            t2t = jnp.zeros((0, nb, nb), a.dtype)
         r_diag.append(r_k)
         t_geqrt.append(tg_k)
-        t_tsqrt.append(t2_k)
-        if nt - k - 1 > 0:
-            if mt - k - 1 > 0:
-                a, row = couple_apply(
-                    a, tg_k, t2_k, a, k, k + 1, nb,
-                    trans=True, reverse=False, precision=precision,
-                    interpret=interpret,
-                )
-            else:
-                row = larfb_row(
-                    a, tg_k, a, k, k + 1, nb,
+        t_tsqrt.append((t2h, t2t))
+
+        nt_rem = nt - k - 1
+        if nt_rem > 0:
+            strip = a[k * nb : (k + 1) * nb, (k + 1) * nb :]
+            strip = larfb_strip(
+                a, tg_k, strip, k, nb, trans=True, precision=precision, interpret=interpret
+            )
+            if n_head > 0:
+                a, strip = couple_strip(
+                    a, t2h[1:], a, strip, k, k + 1, n_head, nb, nb, k + 1,
                     trans=True, precision=precision, interpret=interpret,
                 )
-            a = jax.lax.dynamic_update_slice(a, row, (k * nb, (k + 1) * nb))
+            if nc > 0:
+                a, strip = couple_strip(
+                    a, t2t, a, strip, k, base, nc, c * nb, nb, k + 1,
+                    trans=True, precision=precision, interpret=interpret,
+                )
+            a = jax.lax.dynamic_update_slice(a, strip, (k * nb, (k + 1) * nb))
     return a, jnp.stack(r_diag), jnp.stack(t_geqrt), tuple(t_tsqrt)
 
 
@@ -76,54 +120,71 @@ def assemble_r(packed: jnp.ndarray, r_diag: jnp.ndarray, nb: int) -> jnp.ndarray
     mt, nt = m // nb, n // nb
     k_max = min(mt, nt)
     r = jnp.triu(packed)
-    # one vectorized scatter over the K diagonal tiles
     rt = r.reshape(mt, nb, nt, nb)
     idx = jnp.arange(k_max)
     rt = rt.at[idx, :, idx, :].set(jax.vmap(jnp.triu)(r_diag))
-    r = rt.reshape(m, n)
-    # rows below the diagonal of the last panel are zero by construction of
-    # triu for n >= m; for m > n, triu already zeroed them.
-    return r
+    return rt.reshape(m, n)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "trans", "precision", "interpret")
+    jax.jit, static_argnames=("nb", "chunk", "trans", "precision", "interpret")
 )
 def apply_q_tiled(
     packed: jnp.ndarray,
     t_geqrt: jnp.ndarray,
-    t_tsqrt: Tuple[jnp.ndarray, ...],
-    c: jnp.ndarray,
+    t_tsqrt: Tuple,
+    c_mat: jnp.ndarray,
     nb: int,
+    chunk: int = 4,
     trans: bool = True,
     precision: str = "highest",
     interpret: bool = False,
 ):
-    """C ← Qᵀ C (trans) or Q C, replaying the tiled reflectors
-    (LAPACK xORMQR semantics on the tiled factors; SURVEY.md §3.4 ORGQR/apply).
-
-    c: (M, P) with P a multiple of nb.
-    """
+    """C ← Qᵀ C (trans) or Q C, replaying the (possibly chunked) tiled
+    reflectors (LAPACK xORMQR semantics; SURVEY.md §3.4). c_mat: (M, P),
+    P a multiple of nb. ``chunk`` must match the factorization's."""
     m, _n = packed.shape
     mt = m // nb
     k_max = len(t_tsqrt)
+    c = _chunk_for(mt, chunk)
 
-    def one_panel(c, k):
-        n_inner = mt - k - 1
-        if n_inner > 0:
-            c, row = couple_apply(
-                packed, t_geqrt[k], t_tsqrt[k], c, k, 0, nb,
-                trans=trans, reverse=not trans, precision=precision,
-                interpret=interpret,
+    def one_panel(cm, k):
+        n_head, base, nc = _segments(k, mt, c)
+        t2h, t2t = t_tsqrt[k]
+        strip = cm[k * nb : (k + 1) * nb, :]
+        if trans:
+            strip = larfb_strip(
+                packed, t_geqrt[k], strip, k, nb, trans=True,
+                precision=precision, interpret=interpret,
             )
+            if n_head > 0:
+                cm, strip = couple_strip(
+                    packed, t2h[1:], cm, strip, k, k + 1, n_head, nb, nb, 0,
+                    trans=True, precision=precision, interpret=interpret,
+                )
+            if nc > 0:
+                cm, strip = couple_strip(
+                    packed, t2t, cm, strip, k, base, nc, c * nb, nb, 0,
+                    trans=True, precision=precision, interpret=interpret,
+                )
         else:
-            row = larfb_row(
-                packed, t_geqrt[k], c, k, 0, nb,
-                trans=trans, precision=precision, interpret=interpret,
+            if nc > 0:
+                cm, strip = couple_strip(
+                    packed, t2t, cm, strip, k, base, nc, c * nb, nb, 0,
+                    trans=False, reverse=True, precision=precision, interpret=interpret,
+                )
+            if n_head > 0:
+                cm, strip = couple_strip(
+                    packed, t2h[1:], cm, strip, k, k + 1, n_head, nb, nb, 0,
+                    trans=False, reverse=True, precision=precision, interpret=interpret,
+                )
+            strip = larfb_strip(
+                packed, t_geqrt[k], strip, k, nb, trans=False,
+                precision=precision, interpret=interpret,
             )
-        return jax.lax.dynamic_update_slice(c, row, (k * nb, 0))
+        return jax.lax.dynamic_update_slice(cm, strip, (k * nb, 0))
 
     ks = range(k_max) if trans else range(k_max - 1, -1, -1)
     for k in ks:
-        c = one_panel(c, k)
-    return c
+        c_mat = one_panel(c_mat, k)
+    return c_mat

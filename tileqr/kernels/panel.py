@@ -67,9 +67,14 @@ def _mk_panel_kernel(ib: int):
   return _panel_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nb", "ib", "interpret"))
-def panel_factor(a, k: int, nb: int, ib: int = 32, interpret: bool = False):
-    """Factor panel column k of A in place.
+@functools.partial(jax.jit, static_argnames=("k", "nb", "ib", "n_couples", "interpret"))
+def panel_factor(
+    a, k: int, nb: int, ib: int = 32, n_couples: int | None = None, interpret: bool = False
+):
+    """Factor panel column k of A in place: GEQRT on tile (k, k) plus the
+    TSQRT chain over the next ``n_couples`` sub-diagonal tiles (default: the
+    whole column; the chunked driver passes only the unaligned head and
+    routes the rest through kernels/chain.py).
 
     Returns (a', r_kk, t_geqrt, t2_stack) with a' aliased to a (donated).
     """
@@ -80,7 +85,7 @@ def panel_factor(a, k: int, nb: int, ib: int = 32, interpret: bool = False):
             "(lane alignment); smaller nb runs only in interpret mode"
         )
     mt = m // nb
-    mt_rem = mt - k
+    mt_rem = (mt - k) if n_couples is None else (1 + n_couples)
     dt = a.dtype
     grid = (mt_rem,)
     return pl.pallas_call(
