@@ -24,9 +24,9 @@ needs_8 = pytest.mark.skipif(
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (2, 2)])
 def test_r_agrees_with_single_chip(rng, mesh_shape):
     cfg = QRConfig(nb=32, mesh_shape=mesh_shape)
-    a = rng.standard_normal((256, 256)).astype(np.float32)
+    a = rng.standard_normal((128, 128)).astype(np.float32)
     r_sh = np.asarray(qr_sharded(a, config=cfg))
-    r_1c = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=32)))
+    r_1c = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=32, chunk=1)))
     s = np.sign(np.diag(r_1c)) * np.sign(np.diag(r_sh))
     s[s == 0] = 1
     assert np.linalg.norm(r_sh * s[:, None] - r_1c) / np.linalg.norm(r_1c) < 5e-6
@@ -35,7 +35,7 @@ def test_r_agrees_with_single_chip(rng, mesh_shape):
 @needs_8
 def test_residual_and_orthogonality(rng):
     cfg = QRConfig(nb=32, mesh_shape=(4, 2))
-    m, n = 256, 192
+    m, n = 192, 128
     a = rng.standard_normal((m, n)).astype(np.float32)
     f = qr_sharded_factor(a, config=cfg)
     r = assemble_r_sharded(f).astype(np.float64)

@@ -77,8 +77,13 @@ def geqrt_in_refs(
         def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b):
             j = s + jj
             xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
-            alpha = jnp.sum(jnp.where(lane_r == j, xrow, zero))
-            tailsq = jnp.sum(jnp.where(lane_r > j, xrow * xrow, zero))
+            # keep the Householder scalars as (1, 1) vregs — a scalar-register
+            # round trip per value would serialize the (already latency-bound)
+            # column loop on vector→SREG transfers
+            alpha = jnp.sum(jnp.where(lane_r == j, xrow, zero), axis=1, keepdims=True)
+            tailsq = jnp.sum(
+                jnp.where(lane_r > j, xrow * xrow, zero), axis=1, keepdims=True
+            )
             sgn = jnp.where(alpha >= 0, one, -one)
             nrm = jnp.sqrt(alpha * alpha + tailsq)
             has_tail = tailsq > 0
