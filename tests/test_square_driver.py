@@ -1,6 +1,7 @@
 """Integration tier (SURVEY.md §4): full tiled QR driver vs the L0 oracle —
 tile-level agreement, reconstruction, orthogonality, determinism."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -14,31 +15,44 @@ def factor(a, nb, chunk=1):
 
 
 @pytest.mark.parametrize("m,n,nb", [(256, 256, 64), (384, 128, 64), (128, 256, 64)])
-def test_r_matches_oracle(rng, m, n, nb):
+def test_matches_oracle_tile_by_tile(rng, m, n, nb):
+    """chunk=1 reproduces the reference flat-tree algebra: R and every
+    reflector tile agree with the numpy oracle."""
     a = rng.standard_normal((m, n)).astype(np.float32)
-    packed, r_diag, t_g, t_t = factor(a, nb)
+    packed, r_diag, t_g, panels = factor(a, nb)
     r = np.asarray(assemble_r(packed, r_diag, nb))
-    pk_ref, _, _ = refqr.qr_tiled_ref(a, nb)
+    pk_ref, tg_ref, tt_ref = refqr.qr_tiled_ref(a, nb)
     r_ref = np.triu(pk_ref)
     assert np.linalg.norm(r - r_ref) / np.linalg.norm(r_ref) < 5e-6
-    # V tiles (below-diagonal packed content) match the oracle too
-    packed_np = np.asarray(packed)
     mt = m // nb
-    for bi in range(1, mt):
-        for bj in range(min(bi, n // nb)):
-            got = packed_np[bi * nb : (bi + 1) * nb, bj * nb : (bj + 1) * nb]
-            want = pk_ref[bi * nb : (bi + 1) * nb, bj * nb : (bj + 1) * nb]
-            assert np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-20) < 5e-6
+    k_max = min(mt, n // nb)
+    for k in range(k_max):
+        v_stack, t2h, v_chunks, t2t = panels[k]
+        # GEQRT packed tile
+        want = pk_ref[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb]
+        got = np.asarray(v_stack[0])
+        # oracle keeps the final R in the diagonal tile; compare the V part
+        assert np.linalg.norm(np.tril(got, -1) - np.tril(want, -1)) <= 2e-5 * max(
+            np.linalg.norm(np.tril(want, -1)), 1e-6
+        )
+        # chunk=1: every sub-diagonal V2 tile is a v_chunks slot
+        for i in range(mt - k - 1):
+            want = pk_ref[(k + 1 + i) * nb : (k + 2 + i) * nb, k * nb : (k + 1) * nb]
+            got = np.asarray(v_chunks[i, :, :])
+            assert np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-20) < 2e-5
+        assert np.linalg.norm(np.asarray(t_g[k]) - tg_ref[k]) / max(
+            np.linalg.norm(tg_ref[k]), 1e-20
+        ) < 2e-5
 
 
 def test_reconstruction_and_orthogonality(rng):
     m = n = 256
     nb = 64
     a = rng.standard_normal((m, n)).astype(np.float32)
-    packed, r_diag, t_g, t_t = factor(a, nb)
+    packed, r_diag, t_g, panels = factor(a, nb)
     r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
     q = np.asarray(
-        apply_q_tiled(packed, t_g, t_t, np.eye(m, dtype=np.float32), nb,
+        apply_q_tiled(panels, t_g, np.eye(m, dtype=np.float32), nb,
                       chunk=1, trans=False, interpret=True)
     ).astype(np.float64)
     assert np.linalg.norm(a - q @ r) / np.linalg.norm(a) < 2e-6
@@ -48,30 +62,30 @@ def test_reconstruction_and_orthogonality(rng):
 def test_qt_then_q_roundtrip(rng):
     m, n, nb = 256, 128, 64
     a = rng.standard_normal((m, n)).astype(np.float32)
-    packed, r_diag, t_g, t_t = factor(a, nb)
+    packed, r_diag, t_g, panels = factor(a, nb)
     c = rng.standard_normal((m, 64)).astype(np.float32)
-    qtc = apply_q_tiled(packed, t_g, t_t, jnp.asarray(c), nb, chunk=1, trans=True, interpret=True)
-    back = np.asarray(apply_q_tiled(packed, t_g, t_t, qtc, nb, chunk=1, trans=False, interpret=True))
+    qtc = apply_q_tiled(panels, t_g, jnp.asarray(c), nb, chunk=1, trans=True, interpret=True)
+    back = np.asarray(apply_q_tiled(panels, t_g, qtc, nb, chunk=1, trans=False, interpret=True))
     assert np.linalg.norm(back - c) / np.linalg.norm(c) < 5e-6
 
 
 def test_chunked_reconstruction(rng):
     """chunk > 1 (tall couples) is a different, equally valid Householder
-    factorization: verify reconstruction + orthogonality + R vs numpy."""
+    factorization: verify reconstruction + orthogonality + QᵀA = R."""
     m = n = 256
     nb = 64
     a = rng.standard_normal((m, n)).astype(np.float32)
     for chunk in (2, 4):
-        packed, r_diag, t_g, t_t = qr_tiled(jnp.asarray(a), nb, chunk=chunk, interpret=True)
+        packed, r_diag, t_g, panels = qr_tiled(jnp.asarray(a), nb, chunk=chunk, interpret=True)
         r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
         q = np.asarray(
-            apply_q_tiled(packed, t_g, t_t, np.eye(m, dtype=np.float32), nb,
+            apply_q_tiled(panels, t_g, np.eye(m, dtype=np.float32), nb,
                           chunk=chunk, trans=False, interpret=True)
         ).astype(np.float64)
         assert np.linalg.norm(a - q @ r) / np.linalg.norm(a) < 2e-6, chunk
         assert np.linalg.norm(q.T @ q - np.eye(m)) < 1e-4, chunk
         qta = np.asarray(
-            apply_q_tiled(packed, t_g, t_t, jnp.asarray(a), nb,
+            apply_q_tiled(panels, t_g, jnp.asarray(a), nb,
                           chunk=chunk, trans=True, interpret=True)
         ).astype(np.float64)
         assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 2e-6, chunk
@@ -81,9 +95,7 @@ def test_bitwise_determinism(rng):
     """BASELINE.json:5 'bitwise-stable tile outputs': same backend, same
     inputs → identical bits (doubles as a race detector, SURVEY.md §5)."""
     a = rng.standard_normal((256, 256)).astype(np.float32)
-    out1 = factor(a, 64)
-    out2 = factor(a, 64)
-    import jax
-
+    out1 = factor(a, 64, chunk=4)
+    out2 = factor(a, 64, chunk=4)
     for x, y in zip(jax.tree_util.tree_leaves(out1), jax.tree_util.tree_leaves(out2)):
         assert (np.asarray(x) == np.asarray(y)).all()

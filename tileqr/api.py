@@ -31,7 +31,7 @@ class QRFactors(NamedTuple):
     packed: jnp.ndarray
     r_diag: jnp.ndarray
     t_geqrt: jnp.ndarray
-    t_tsqrt: Tuple
+    panels: Tuple
     nb: int
     chunk: int
     shape: Tuple[int, int]  # original (M, N) before padding
@@ -47,11 +47,11 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     a = jnp.asarray(a, dtype=cfg.dtype)
     m, n = a.shape
     ap, _ = pad_to_tiles(a, cfg.nb)
-    packed, r_diag, t_g, t_t = qr_tiled(
+    packed, r_diag, t_g, panels = qr_tiled(
         ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
         interpret=resolve_interpret(cfg.interpret),
     )
-    return QRFactors(packed, r_diag, t_g, t_t, cfg.nb, cfg.chunk, (m, n))
+    return QRFactors(packed, r_diag, t_g, panels, cfg.nb, cfg.chunk, (m, n))
 
 
 def apply_q(
@@ -67,7 +67,7 @@ def apply_q(
     pp = round_up(max(p, 1), f.nb)
     cp = jnp.pad(c, ((0, mp - mc), (0, pp - p)))
     out = apply_q_tiled(
-        f.packed, f.t_geqrt, f.t_tsqrt, cp, f.nb, chunk=f.chunk,
+        f.panels, f.t_geqrt, cp, f.nb, chunk=f.chunk,
         trans=trans, precision=cfg.precision,
         interpret=resolve_interpret(cfg.interpret),
     )

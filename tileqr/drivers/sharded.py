@@ -160,11 +160,11 @@ def qr_sharded_factor(
             is_owner = (c == c_k).astype(loc.dtype)
             pcol = jax.lax.psum(pcol_own * is_owner, "cols")
 
-            # 2. local chain (fused GEQRT + TSQRT kernel)
-            pk_col, r_loc, tg, t2 = panel_factor(pcol, 0, nb, ib=cfg.ib, interpret=interpret)
-            # write the packed panel column back on the owner column
-            loc_upd = jax.lax.dynamic_update_slice(loc, pk_col, (ls, i32(ljk * nb)))
-            loc = jnp.where(c == c_k, loc_upd, loc)
+            # 2. local chain (fused GEQRT + TSQRT kernel); the packed
+            # column lives in the returned factor stack, not in loc (see
+            # kernels/panel.py on duplicate-operand aliasing)
+            r_loc, v_stack, tg, t2 = panel_factor(pcol, 0, nb, ib=cfg.ib, interpret=interpret)
+            pk_col = v_stack.reshape(wrows * nb, nb)
 
             # 3. TTQRT tree over mesh rows
             levels = _tree_perms(pr, r_k)

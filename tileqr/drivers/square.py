@@ -5,21 +5,24 @@ streams with events + right-looking lookahead [BASELINE.json:5]. The TPU-
 native replacement: a trace-time-unrolled Python loop over panels inside one
 ``jax.jit``, emitting a handful of fused pallas_calls per panel; concurrency
 that CUDA got from streams comes from *within* each fused kernel (Pallas
-double-buffers tile DMAs against compute). All updates are in place via
-input/output aliasing on the single HBM matrix buffer; shapes are static per
-(shape, nb, chunk), so each matrix shape compiles once (SURVEY.md §7.2 #3).
+double-buffers tile DMAs against compute). The matrix buffer A is updated in
+place (input/output aliasing) and is passed to every kernel EXACTLY once —
+reflector factors travel in separate stacked arrays, because an operand that
+both aliases the output and feeds a second input forces XLA to materialize a
+defensive full-matrix copy per call (measured ~0.6 ms each at 8192²).
 
 Chunked elimination (kernels/chain.py): the sub-diagonal is processed in
 couples of ``chunk`` tiles (plus a ≤chunk-1 tile "head" at tile granularity
 for block alignment). chunk=1 reproduces the reference's flat-tree tile
 algebra exactly; larger chunks cut the latency-bound panel column-loop count
-by ~chunk× and the update flops by up to 1/3 (amortized T-apply). The
-factorization is a valid Householder QR for any chunk; tile-exact
-comparisons against the flat-tree oracle require chunk=1.
+by ~chunk× and the update flops by up to 1/3 (amortized T-apply).
 
-Per panel k (calls): panel_factor (GEQRT + head TSQRT chain) → panel_chain
-(chunked TSQRT chain, carried R) → larfb_strip → couple_strip (head) →
-couple_strip (chunks).
+Factor layout (QR factors of panel k):
+  r_diag[k]: final diagonal R tile. t_geqrt[k]: compact-WY T of the GEQRT.
+  panels[k] = (v_stack, t2_head, v_chunks, t2_chunks): v_stack
+  (1+n_head, nb, nb) = packed GEQRT tile + head V2 tiles; v_chunks
+  (n_chunks, chunk·nb, nb) = tall dense V2 chunks. A's upper triangle holds
+  the off-diagonal R tiles; its sub-diagonal content is unspecified.
 """
 
 from __future__ import annotations
@@ -64,54 +67,49 @@ def qr_tiled(
 ):
     """Factor A (M, N; multiples of nb) in place.
 
-    Returns (packed, r_diag, t_geqrt, t_tsqrt):
-      packed: (M, N) — V's below the diagonal blocks (head tiles at nb
-        granularity, chunk couples as (chunk·nb, nb) dense V2 blocks), R
-        above; diagonal tiles' upper triangles are stale (final R_kk per
-        panel is in r_diag — the chain carries R on-chip).
-      r_diag: (K, nb, nb); t_geqrt: (K, nb, nb).
-      t_tsqrt: tuple over k of (t2_head (1+n_head, nb, nb), t2_chunks
-        (n_chunks, nb, nb)) — slot 0 of t2_head is unused (GEQRT slot).
+    Returns (a, r_diag, t_geqrt, panels) in the module-docstring layout.
     """
     m, n = a.shape
     mt, nt = m // nb, n // nb
     k_max = min(mt, nt)
     c = _chunk_for(mt, chunk)
 
-    r_diag, t_geqrt, t_tsqrt = [], [], []
+    r_diag, t_geqrt, panels = [], [], []
     for k in range(k_max):
         n_head, base, nc = _segments(k, mt, c)
-        a, r_k, tg_k, t2h = panel_factor(
+        r_k, v_stack, tg_k, t2h = panel_factor(
             a, k, nb, ib=ib, n_couples=n_head, interpret=interpret
         )
         if nc > 0:
-            a, r_k, t2t = panel_chain(
+            r_k, v_chunks, t2t = panel_chain(
                 a, r_k, k, nb, base, nc, c * nb, ib=ib, interpret=interpret
             )
         else:
+            v_chunks = jnp.zeros((0, c * nb, nb), a.dtype)
             t2t = jnp.zeros((0, nb, nb), a.dtype)
         r_diag.append(r_k)
         t_geqrt.append(tg_k)
-        t_tsqrt.append((t2h, t2t))
+        panels.append((v_stack, t2h, v_chunks, t2t))
 
         nt_rem = nt - k - 1
         if nt_rem > 0:
             strip = a[k * nb : (k + 1) * nb, (k + 1) * nb :]
             strip = larfb_strip(
-                a, tg_k, strip, k, nb, trans=True, precision=precision, interpret=interpret
+                v_stack[0], tg_k, strip, nb, trans=True,
+                precision=precision, interpret=interpret,
             )
             if n_head > 0:
                 a, strip = couple_strip(
-                    a, t2h[1:], a, strip, k, k + 1, n_head, nb, nb, k + 1,
+                    v_stack, t2h, a, strip, 1, k + 1, n_head, nb, nb, k + 1,
                     trans=True, precision=precision, interpret=interpret,
                 )
             if nc > 0:
                 a, strip = couple_strip(
-                    a, t2t, a, strip, k, base, nc, c * nb, nb, k + 1,
+                    v_chunks, t2t, a, strip, 0, base, nc, c * nb, nb, k + 1,
                     trans=True, precision=precision, interpret=interpret,
                 )
             a = jax.lax.dynamic_update_slice(a, strip, (k * nb, (k + 1) * nb))
-    return a, jnp.stack(r_diag), jnp.stack(t_geqrt), tuple(t_tsqrt)
+    return a, jnp.stack(r_diag), jnp.stack(t_geqrt), tuple(panels)
 
 
 def assemble_r(packed: jnp.ndarray, r_diag: jnp.ndarray, nb: int) -> jnp.ndarray:
@@ -130,9 +128,8 @@ def assemble_r(packed: jnp.ndarray, r_diag: jnp.ndarray, nb: int) -> jnp.ndarray
     jax.jit, static_argnames=("nb", "chunk", "trans", "precision", "interpret")
 )
 def apply_q_tiled(
-    packed: jnp.ndarray,
+    panels: Tuple,
     t_geqrt: jnp.ndarray,
-    t_tsqrt: Tuple,
     c_mat: jnp.ndarray,
     nb: int,
     chunk: int = 4,
@@ -143,43 +140,43 @@ def apply_q_tiled(
     """C ← Qᵀ C (trans) or Q C, replaying the (possibly chunked) tiled
     reflectors (LAPACK xORMQR semantics; SURVEY.md §3.4). c_mat: (M, P),
     P a multiple of nb. ``chunk`` must match the factorization's."""
-    m, _n = packed.shape
+    m, _p = c_mat.shape
     mt = m // nb
-    k_max = len(t_tsqrt)
+    k_max = len(panels)
     c = _chunk_for(mt, chunk)
 
     def one_panel(cm, k):
         n_head, base, nc = _segments(k, mt, c)
-        t2h, t2t = t_tsqrt[k]
+        v_stack, t2h, v_chunks, t2t = panels[k]
         strip = cm[k * nb : (k + 1) * nb, :]
         if trans:
             strip = larfb_strip(
-                packed, t_geqrt[k], strip, k, nb, trans=True,
+                v_stack[0], t_geqrt[k], strip, nb, trans=True,
                 precision=precision, interpret=interpret,
             )
             if n_head > 0:
                 cm, strip = couple_strip(
-                    packed, t2h[1:], cm, strip, k, k + 1, n_head, nb, nb, 0,
+                    v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, 0,
                     trans=True, precision=precision, interpret=interpret,
                 )
             if nc > 0:
                 cm, strip = couple_strip(
-                    packed, t2t, cm, strip, k, base, nc, c * nb, nb, 0,
+                    v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
                     trans=True, precision=precision, interpret=interpret,
                 )
         else:
             if nc > 0:
                 cm, strip = couple_strip(
-                    packed, t2t, cm, strip, k, base, nc, c * nb, nb, 0,
+                    v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
                 )
             if n_head > 0:
                 cm, strip = couple_strip(
-                    packed, t2h[1:], cm, strip, k, k + 1, n_head, nb, nb, 0,
+                    v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, 0,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
                 )
             strip = larfb_strip(
-                packed, t_geqrt[k], strip, k, nb, trans=False,
+                v_stack[0], t_geqrt[k], strip, nb, trans=False,
                 precision=precision, interpret=interpret,
             )
         return jax.lax.dynamic_update_slice(cm, strip, (k * nb, 0))

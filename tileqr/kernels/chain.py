@@ -14,11 +14,11 @@ tile algebra remains for the chunk boundaries and the distributed tree.
 Alignment: Pallas block starts must be multiples of the block shape, so the
 chunked couples cover only block-aligned row ranges [align_start, mt) with
 align_start = roundup(k+1, c); the 0..c-1 "head" tiles in between are
-processed at tile granularity (same kernels with block_rows = nb). The
-LARFB on the top row strip is a separate small kernel (larfb_strip) — the
-couple kernels initialize their carried strip from an explicit strip input,
-which keeps one kernel shape for factorization, Qᵀ-apply, and reversed
-Q-apply.
+processed at tile granularity (same kernels with block_rows = nb).
+
+Reflector factors travel in their own stacked arrays (never written back
+into A) so that every kernel receives A exactly once — see kernels/panel.py
+docstring for why duplicate-operand aliasing forces XLA full-matrix copies.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ from tileqr.kernels.ssrfb import ssrfb_body
 
 
 def _chain_kernel_factory(ib: int):
-    def kernel(b_ref, r_in_ref, a_out_ref, r_out_ref, t2_ref, at_scr, vt_scr, tt_scr):
+    def kernel(b_ref, r_in_ref, r_out_ref, v_ref, t2_ref, at_scr, vt_scr, tt_scr):
         nb = r_in_ref.shape[0]
         i = pl.program_id(0)
 
@@ -51,7 +51,7 @@ def _chain_kernel_factory(ib: int):
         tt_scr[:] = jnp.zeros_like(tt_scr)
         geqrt_in_refs(at_scr, vt_scr, tt_scr, nb, ib=ib)
         r_out_ref[:] = at_scr[:, :nb].T  # strictly-lower stays exactly 0
-        a_out_ref[:] = at_scr[:, nb:].T  # dense V2 chunk
+        v_ref[0] = at_scr[:, nb:].T  # dense V2 chunk
         t2_ref[0] = tt_scr[:].T
 
     return kernel
@@ -73,15 +73,14 @@ def panel_chain(
     interpret: bool = False,
 ):
     """TSQRT-chain ``n_chunks`` couples of ``block_rows`` rows against the
-    carried R (seeded from ``r_in``), writing dense V2 chunks into A in place.
+    carried R (seeded from ``r_in``). A is read-only.
 
     base_block: first chunk's row-block index in units of block_rows (must be
-    block-aligned; the caller routes unaligned head tiles through a
-    block_rows = nb call first). Returns (a', r_out, t2_stack).
+    block-aligned; the caller routes unaligned head tiles through
+    panel_factor first). Returns (r_out, v_chunks, t2_stack).
     """
     m, n = a.shape
     dt = a.dtype
-    c_tiles = block_rows // nb
     return pl.pallas_call(
         _chain_kernel_factory(ib),
         grid=(n_chunks,),
@@ -92,15 +91,13 @@ def panel_chain(
             pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((m, n), dt),
             jax.ShapeDtypeStruct((nb, nb), dt),
+            jax.ShapeDtypeStruct((n_chunks, block_rows, nb), dt),
             jax.ShapeDtypeStruct((n_chunks, nb, nb), dt),
         ),
         out_specs=(
-            pl.BlockSpec(
-                (block_rows, nb), lambda i: (base_block + i, k), memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec((nb, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -108,7 +105,6 @@ def panel_chain(
             pltpu.VMEM((nb, nb + block_rows), dt),
             pltpu.VMEM((nb, nb), dt),
         ],
-        input_output_aliases={0: 0},
         interpret=interpret,
     )(a, r_in)
 
@@ -122,7 +118,7 @@ def _couple_strip_kernel_factory(trans: bool, precision):
             strip_out_ref[:] = strip_in_ref[:]
 
         top, bot = ssrfb_body(
-            v2_ref[:], t2_ref[0], strip_out_ref[:], cbot_ref[:], trans, precision
+            v2_ref[0], t2_ref[0], strip_out_ref[:], cbot_ref[:], trans, precision
         )
         strip_out_ref[:] = top
         c_out_ref[:] = bot
@@ -133,16 +129,16 @@ def _couple_strip_kernel_factory(trans: bool, precision):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "base_block", "n_chunks", "block_rows", "nb", "col_start",
+        "stack_base", "base_block", "n_chunks", "block_rows", "nb", "col_start",
         "trans", "reverse", "precision", "interpret",
     ),
 )
 def couple_strip(
-    v2src,
-    t2stack,
+    v_stack,
+    t2_stack,
     c,
     strip,
-    k: int,
+    stack_base: int,
     base_block: int,
     n_chunks: int,
     block_rows: int,
@@ -156,9 +152,10 @@ def couple_strip(
     """Apply ``n_chunks`` chunk couples to (strip, C) — the SSRFB sweep with
     the top row strip carried in VMEM across the inner grid dimension.
 
-    v2src: (M, N) array holding V2 chunks at row-blocks base_block.. of
-      column-block k; t2stack: (n_chunks, nb, nb); c: (Mc, P) target;
-      strip: (nb, (Pt-col_start)·nb) current top row strip.
+    v_stack: (B, block_rows, nb) reflector chunks; t2_stack: (B, nb, nb);
+    couple ii uses slot stack_base + ii of both. c: (Mc, P) target, passed
+    exactly once and aliased in place; its row-blocks base_block + ii (units
+    of block_rows) are the couple bottoms. strip: (nb, (Pt-col_start)·nb).
     reverse: iterate chunks descending (Q-apply order).
     Returns (c', strip').
     """
@@ -167,10 +164,10 @@ def couple_strip(
     dt = c.dtype
     if reverse:
         blk_of = lambda ii: base_block + n_chunks - 1 - ii  # noqa: E731
-        t2_of = lambda ii: n_chunks - 1 - ii  # noqa: E731
+        sl_of = lambda ii: stack_base + n_chunks - 1 - ii  # noqa: E731
     else:
         blk_of = lambda ii: base_block + ii  # noqa: E731
-        t2_of = lambda ii: ii  # noqa: E731
+        sl_of = lambda ii: stack_base + ii  # noqa: E731
 
     kernel = _couple_strip_kernel_factory(trans, resolve_precision(precision))
     return pl.pallas_call(
@@ -178,9 +175,9 @@ def couple_strip(
         grid=(pt, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (block_rows, nb), lambda j, ii: (blk_of(ii), k), memory_space=pltpu.VMEM
+                (1, block_rows, nb), lambda j, ii: (sl_of(ii), 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, nb, nb), lambda j, ii: (t2_of(ii), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, nb), lambda j, ii: (sl_of(ii), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb), lambda j, ii: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block_rows, nb),
@@ -203,7 +200,7 @@ def couple_strip(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(v2src, t2stack, strip, c)
+    )(v_stack, t2_stack, strip, c)
 
 
 def _larfb_strip_kernel_factory(trans: bool, precision):
@@ -213,27 +210,25 @@ def _larfb_strip_kernel_factory(trans: bool, precision):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "nb", "trans", "precision", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("nb", "trans", "precision", "interpret"))
 def larfb_strip(
-    packed,
+    vkk,
     tg,
     strip,
-    k: int,
     nb: int,
     trans: bool = True,
     precision: str = "highest",
     interpret: bool = False,
 ):
-    """Apply the diagonal-tile GEQRT reflector block to the row strip."""
+    """Apply the diagonal-tile GEQRT reflector block (vkk: packed (nb, nb))
+    to the row strip."""
     _, w = strip.shape
     pt = w // nb
     return pl.pallas_call(
         _larfb_strip_kernel_factory(trans, resolve_precision(precision)),
         grid=(pt,),
         in_specs=[
-            pl.BlockSpec((nb, nb), lambda j: (k, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -241,4 +236,4 @@ def larfb_strip(
         out_specs=pl.BlockSpec((nb, nb), lambda j: (0, j), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(packed, tg, strip)
+    )(vkk, tg, strip)
