@@ -1,0 +1,58 @@
+"""Real-TPU acceptance smoke checks (run with TILEQR_TEST_TPU=1 on a chip;
+skipped on the CPU backend). These are the compiled-Mosaic twins of the
+interpret-mode tests — they validate the acceptance metrics of
+BASELINE.json:7–10 on hardware at reduced sizes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu_only
+
+
+def test_square_4096_relerr(rng):
+    """Config 2 (BASELINE.json:8): 4096² fp32, 256² tiles, relerr ≤ 1e-6."""
+    from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
+
+    a = jnp.asarray(rng.standard_normal((4096, 4096)).astype(np.float32))
+    packed, r_diag, t_g, panels = qr_tiled(a, 256)
+    r = np.asarray(assemble_r(packed, r_diag, 256)).astype(np.float64)
+    qta = np.asarray(apply_q_tiled(panels, t_g, a, 256, trans=True)).astype(np.float64)
+    assert np.linalg.norm(qta - r) / np.linalg.norm(np.asarray(a)) < 1e-6
+
+
+def test_square_deterministic_on_tpu(rng):
+    from tileqr.drivers.square import qr_tiled
+    import jax
+
+    a = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    o1 = qr_tiled(a, 256)
+    o2 = qr_tiled(a, 256)
+    for x, y in zip(jax.tree_util.tree_leaves(o1), jax.tree_util.tree_leaves(o2)):
+        assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_tsqr_tall_skinny(rng):
+    """Config 3 (BASELINE.json:9) at reduced height: 65536×512 tree QR."""
+    from tileqr.drivers.tsqr import tsqr_factor
+
+    a = rng.standard_normal((65536, 512)).astype(np.float32)
+    f = tsqr_factor(jnp.asarray(a), 512)
+    r = np.asarray(f.r)
+    rn = np.linalg.qr(a, mode="r")
+    s = np.sign(np.diag(rn)) * np.sign(np.diag(r))
+    s[s == 0] = 1
+    assert np.linalg.norm(r * s[:, None] - rn) / np.linalg.norm(rn) < 5e-4
+
+
+def test_batched(rng):
+    """Config 4 (BASELINE.json:10) at reduced batch: 256×128² vmapped tiles."""
+    from tileqr.drivers.batched import qr_batched
+
+    b = rng.standard_normal((256, 128, 128)).astype(np.float32)
+    q, r = qr_batched(jnp.asarray(b))
+    i = 7
+    qi = np.asarray(q[i]).astype(np.float64)
+    ri = np.asarray(r[i]).astype(np.float64)
+    assert np.linalg.norm(b[i] - qi @ ri) / np.linalg.norm(b[i]) < 2e-6
+    assert np.linalg.norm(qi.T @ qi - np.eye(128)) < 1e-4

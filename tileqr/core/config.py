@@ -36,10 +36,12 @@ class QRConfig:
         algebra exactly; larger values cut the latency-bound panel
         column-loop count by ~chunk x. The driver reduces it to the largest
         divisor of the row-tile count.
-      tree: panel-elimination tree for the square driver: "flat" is the
-        reference's sequential TSQRT chain; "binary" uses the TTQRT tree
-        within each panel column (CAQR-style, shorter critical path).
       mesh_shape: (rows, cols) for the sharded driver.
+
+    Elimination-tree selection is implicit per path (matching the reference,
+    SURVEY.md §2.3): the square driver uses the flat chain (chunked), the
+    tall-skinny path the TSQR binary tree, and the sharded driver a
+    hierarchy of local chains + a binary TTQRT tree across mesh rows.
     """
 
     nb: int = 256
@@ -48,7 +50,6 @@ class QRConfig:
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     interpret: Optional[bool] = None
-    tree: str = "flat"
     mesh_shape: Tuple[int, int] = (4, 2)
 
     def __post_init__(self):
@@ -56,8 +57,6 @@ class QRConfig:
             raise ValueError(f"nb={self.nb} must be a multiple of 8")
         if self.nb % self.ib != 0:
             raise ValueError(f"ib={self.ib} must divide nb={self.nb}")
-        if self.tree not in ("flat", "binary"):
-            raise ValueError(f"tree={self.tree!r} must be 'flat' or 'binary'")
 
     def replace(self, **kw) -> "QRConfig":
         return dataclasses.replace(self, **kw)

@@ -22,12 +22,11 @@ from tileqr.kernels.common import (
 from tileqr.kernels.geqrt import geqrt_in_refs
 
 
-def _batched_geqrt_kernel(a_ref, packed_ref, t_ref, at_scr, vt_scr, tt_scr):
+def _batched_geqrt_kernel(a_ref, packed_ref, t_ref, at_scr, tt_scr):
     _, m, n = a_ref.shape
     at_scr[:] = a_ref[0].T
-    vt_scr[:] = jnp.zeros_like(vt_scr)
     tt_scr[:] = jnp.zeros_like(tt_scr)
-    geqrt_in_refs(at_scr, vt_scr, tt_scr, min(m, n))
+    geqrt_in_refs(at_scr, tt_scr, min(m, n))
     packed_ref[0] = at_scr[:].T
     t_ref[0] = tt_scr[:].T
 
@@ -51,7 +50,6 @@ def geqrt_batched(a, interpret: bool = False):
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, m), dt),
             pltpu.VMEM((n, m), dt),
             pltpu.VMEM((n, n), dt),
         ],

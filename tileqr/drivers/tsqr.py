@@ -49,12 +49,11 @@ class TSQRFactors(NamedTuple):
     shape: Tuple[int, int]
 
 
-def _leaf_kernel(a_ref, packed_ref, r_ref, t_ref, at_scr, vt_scr, tt_scr):
+def _leaf_kernel(a_ref, packed_ref, r_ref, t_ref, at_scr, tt_scr):
     nb, n = a_ref.shape
     at_scr[:] = a_ref[:].T
-    vt_scr[:] = jnp.zeros_like(vt_scr)
     tt_scr[:] = jnp.zeros_like(tt_scr)
-    geqrt_in_refs(at_scr, vt_scr, tt_scr, n)
+    geqrt_in_refs(at_scr, tt_scr, n)
     packed = at_scr[:].T
     packed_ref[:] = packed
     r_ref[0] = triu(packed[:n, :])
@@ -81,7 +80,6 @@ def _leaves(a, nb: int, interpret: bool):
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, nb), dt),
             pltpu.VMEM((n, nb), dt),
             pltpu.VMEM((n, n), dt),
         ],

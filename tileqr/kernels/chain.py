@@ -37,7 +37,7 @@ from tileqr.kernels.ssrfb import ssrfb_body
 
 
 def _chain_kernel_factory(ib: int):
-    def kernel(b_ref, r_in_ref, r_out_ref, v_ref, t2_ref, at_scr, vt_scr, tt_scr):
+    def kernel(b_ref, r_in_ref, r_out_ref, v_ref, t2_ref, at_scr, tt_scr):
         nb = r_in_ref.shape[0]
         i = pl.program_id(0)
 
@@ -47,9 +47,8 @@ def _chain_kernel_factory(ib: int):
 
         at_scr[:, :nb] = r_out_ref[:].T
         at_scr[:, nb:] = b_ref[:].T
-        vt_scr[:] = jnp.zeros_like(vt_scr)
         tt_scr[:] = jnp.zeros_like(tt_scr)
-        geqrt_in_refs(at_scr, vt_scr, tt_scr, nb, ib=ib)
+        geqrt_in_refs(at_scr, tt_scr, nb, ib=ib)
         r_out_ref[:] = at_scr[:, :nb].T  # strictly-lower stays exactly 0
         v_ref[0] = at_scr[:, nb:].T  # dense V2 chunk
         t2_ref[0] = tt_scr[:].T
@@ -101,7 +100,6 @@ def panel_chain(
             pl.BlockSpec((1, nb, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nb, nb + block_rows), dt),
             pltpu.VMEM((nb, nb + block_rows), dt),
             pltpu.VMEM((nb, nb), dt),
         ],

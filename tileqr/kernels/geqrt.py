@@ -13,6 +13,11 @@ write-back, incremental T row — is a sublane-dynamic ref slice
 expensive on TPU, and Mosaic does not lower ``dynamic_slice`` on register
 values at all — hence scratch refs.)
 
+No separate V scratch is kept: a reflector row is reconstructed exactly from
+the packed tile on demand (v_r = unit at lane r, packed row r beyond lane r)
+with iota masks — VMEM is the scarce resource (16 MB scoped limit on v5e)
+and the reconstruction is one extra masked pass.
+
 ``geqrt_in_refs`` is the core primitive of the whole library: TSQRT and
 TTQRT (components C3/C5) are GEQRT on a stacked couple whose masked-out zero
 structure the body handles for free, and the batched path grids over it.
@@ -36,7 +41,6 @@ from tileqr.kernels.common import resolve_interpret
 
 def geqrt_in_refs(
     at_ref,
-    vt_ref,
     tt_ref,
     kcols: int,
     ib: int = 32,
@@ -46,8 +50,6 @@ def geqrt_in_refs(
 
     at_ref: (n, m) VMEM scratch holding Aᵀ (sublane j = column j of A);
       on exit holds packedᵀ (R above the diagonal of A, v's below).
-    vt_ref: (n, m) VMEM scratch, must be zeroed by the caller; on exit row j
-      holds reflector v_j (unit at lane j).
     tt_ref: (n, n) VMEM scratch, must be zeroed; on exit holds Tᵀ.
     kcols: number of columns to eliminate (static).
     ib: inner blocking (SURVEY.md §7.2 item 1): each ib-column block is
@@ -70,11 +72,19 @@ def geqrt_in_refs(
         )
         return out.astype(dt)
 
+    def recon_vt(rows_slice, row0: int, nrows: int):
+        """Reconstruct Vᵀ rows [row0, row0+nrows) from packed at rows."""
+        gid = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+        return jnp.where(
+            lane_r == gid, one, jnp.where(lane_r > gid, rows_slice, zero)
+        )
+
     for s in range(0, kcols, ib):
         ibk = min(ib, kcols - s)  # static per block
         sub_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, 1), 0)
+        gid_b = s + sub_b
 
-        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b):
+        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b, gid_b=gid_b):
             j = s + jj
             xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
             # keep the Householder scalars as (1, 1) vregs — a scalar-register
@@ -102,12 +112,19 @@ def geqrt_in_refs(
                 lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
             )
 
-            # block-local T build (rows ≥ jj of the vt block are still zero).
+            # block-local T build: z = V_b[:, :jj]ᵀ v_j with V rows
+            # reconstructed from the packed rows (rows < jj are final).
+            blk_now = at_ref[s : s + ibk, :]
+            vt_blk = jnp.where(
+                sub_b < jj,
+                jnp.where(lane_r == gid_b, one, jnp.where(lane_r > gid_b, blk_now, zero)),
+                zero,
+            )
+            z = jnp.sum(vt_blk * v, axis=1, keepdims=True)  # (ibk, 1)
             # Full-lane-width compute/store (Mosaic rejects dynamic stores at
             # unaligned lane offsets): tt block rows hold T[r, s+l] across all
             # lanes r, so the block matvec lands at the right global lanes,
             # and lanes outside [s, j) are zero (T upper-tri + unwritten).
-            z = jnp.sum(vt_ref[s : s + ibk, :] * v, axis=1, keepdims=True)  # (ibk,1)
             y = jnp.sum(tt_ref[s : s + ibk, :] * z, axis=0, keepdims=True)  # (1, n)
             lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
             tt_ref[pl.ds(j, 1), :] = jnp.where(
@@ -115,12 +132,11 @@ def geqrt_in_refs(
                 tau,
                 jnp.where((lane_t >= s) & (lane_t < j), -tau * y, zero),
             )
-            vt_ref[pl.ds(j, 1), :] = v
             return 0
 
         jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
 
-        vt_b = vt_ref[s : s + ibk, :]  # (ibk, m) = V_bᵀ
+        vt_b = recon_vt(at_ref[s : s + ibk, :], s, ibk)  # (ibk, m) = V_bᵀ
         tt_bb = tt_ref[s : s + ibk, s : s + ibk]  # (ibk, ibk) = T_bᵀ
 
         # MXU block apply to all remaining columns: A_rest ← A_rest − V_b T_bᵀ V_bᵀ A_rest
@@ -134,7 +150,8 @@ def geqrt_in_refs(
 
         # off-diagonal T: T[0:s, s:s+ibk] = −T1 (V1ᵀ V_b) T_b, stored transposed
         if s > 0:
-            zt = contract_lanes(vt_b, vt_ref[0:s, :])  # (ibk, s) = V_bᵀ V1
+            vt_prev = recon_vt(at_ref[0:s, :], 0, s)
+            zt = contract_lanes(vt_b, vt_prev)  # (ibk, s) = V_bᵀ V1
             m2 = jnp.dot(
                 zt, tt_ref[0:s, 0:s], precision=precision,
                 preferred_element_type=jnp.float32,
@@ -144,12 +161,11 @@ def geqrt_in_refs(
             ).astype(dt)
 
 
-def _geqrt_kernel(a_ref, packed_ref, t_ref, at_scr, vt_scr, tt_scr):
+def _geqrt_kernel(a_ref, packed_ref, t_ref, at_scr, tt_scr):
     m, n = a_ref.shape
     at_scr[:] = a_ref[:].T
-    vt_scr[:] = jnp.zeros_like(vt_scr)
     tt_scr[:] = jnp.zeros_like(tt_scr)
-    geqrt_in_refs(at_scr, vt_scr, tt_scr, min(m, n))
+    geqrt_in_refs(at_scr, tt_scr, min(m, n))
     packed_ref[:] = at_scr[:].T
     t_ref[:] = tt_scr[:].T
 
@@ -169,7 +185,6 @@ def _geqrt_call(a, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, m), a.dtype),
             pltpu.VMEM((n, m), a.dtype),
             pltpu.VMEM((n, n), a.dtype),
         ],

@@ -29,7 +29,7 @@ from tileqr.kernels.geqrt import geqrt_in_refs
 
 
 def _mk_panel_kernel(ib: int):
-    def _panel_kernel(a_pan_ref, r_out_ref, v_ref, tg_ref, t2_ref, at_scr, vt_scr, tt_scr):
+    def _panel_kernel(a_pan_ref, r_out_ref, v_ref, tg_ref, t2_ref, at_scr, tt_scr):
         nb = a_pan_ref.shape[0]
         i = pl.program_id(0)
         is_first = i == 0
@@ -41,10 +41,9 @@ def _mk_panel_kernel(ib: int):
         bot = jnp.where(is_first, jnp.zeros_like(a_pan_ref[:].T), a_pan_ref[:].T)
         at_scr[:, :nb] = top
         at_scr[:, nb:] = bot
-        vt_scr[:] = jnp.zeros_like(vt_scr)
         tt_scr[:] = jnp.zeros_like(tt_scr)
 
-        geqrt_in_refs(at_scr, vt_scr, tt_scr, nb, ib=ib)
+        geqrt_in_refs(at_scr, tt_scr, nb, ib=ib)
 
         # carried R: at step 0 the packed top holds v's below the diagonal →
         # mask; at later steps the strictly-lower part is exactly zero.
@@ -107,7 +106,6 @@ def panel_factor(
             pl.BlockSpec((1, nb, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nb, 2 * nb), dt),
             pltpu.VMEM((nb, 2 * nb), dt),
             pltpu.VMEM((nb, nb), dt),
         ],

@@ -27,13 +27,12 @@ from tileqr.kernels.common import resolve_interpret
 from tileqr.kernels.geqrt import geqrt_in_refs
 
 
-def _tsqrt_kernel(r_ref, b_ref, r_out_ref, v2_ref, t2_ref, at_scr, vt_scr, tt_scr):
+def _tsqrt_kernel(r_ref, b_ref, r_out_ref, v2_ref, t2_ref, at_scr, tt_scr):
     n = r_ref.shape[0]
     at_scr[:, :n] = r_ref[:].T
     at_scr[:, n:] = b_ref[:].T
-    vt_scr[:] = jnp.zeros_like(vt_scr)
     tt_scr[:] = jnp.zeros_like(tt_scr)
-    geqrt_in_refs(at_scr, vt_scr, tt_scr, n)
+    geqrt_in_refs(at_scr, tt_scr, n)
     r_out_ref[:] = at_scr[:, :n].T  # strictly-lower entries stay exactly 0
     v2_ref[:] = at_scr[:, n:].T
     t2_ref[:] = tt_scr[:].T
@@ -61,7 +60,6 @@ def _tsqrt_call(r, b, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, n + m), dt),
             pltpu.VMEM((n, n + m), dt),
             pltpu.VMEM((n, n), dt),
         ],
