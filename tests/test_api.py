@@ -106,3 +106,13 @@ def test_wide_matrix(rng):
     q, r = tileqr.qr(a, config=CFG)
     assert q.shape == (m, m) and r.shape == (m, n)
     assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 3e-6
+
+
+def test_tsqr_chain_matches_tree(rng):
+    """Single-chip strategies agree on R up to column signs."""
+    a = rng.standard_normal((1024, 48)).astype(np.float32)
+    r_tree = np.asarray(tileqr.tsqr(a, config=CFG, strategy="tree"), np.float64)
+    r_chain = np.asarray(tileqr.tsqr(a, config=CFG, strategy="chain"), np.float64)
+    s = np.sign(np.diag(r_tree)) * np.sign(np.diag(r_chain))
+    s[s == 0] = 1
+    assert np.linalg.norm(r_chain * s[:, None] - r_tree) / np.linalg.norm(r_tree) < 2e-5

@@ -106,13 +106,36 @@ def qr(
 
 
 def tsqr(
-    a: jnp.ndarray, mode: str = "r", config: Optional[QRConfig] = None
+    a: jnp.ndarray,
+    mode: str = "r",
+    config: Optional[QRConfig] = None,
+    strategy: str = "auto",
 ):
-    """Communication-avoiding tall-skinny QR (TSQR/TTQRT tree path).
+    """Communication-avoiding tall-skinny QR.
 
     a: (M, n) with n <= nb. mode "r" → R (n, n); "reduced" → (Q (M, n), R);
-    "factor" → TSQRFactors (for tsqr_apply_q)."""
+    "factor" → TSQRFactors (for tsqr_apply_q).
+
+    strategy:
+      "tree": the TSQR/TTQRT binary-tree reduction (reference path C8) —
+        leaf GEQRT grid + vmapped TTQRT levels.
+      "chain": route through the chunked square driver (one wide panel,
+        R carried in VMEM across chunk couples). On a single chip the tree
+        and the chain do the SAME number of couple combines — the tree's
+        log-depth only pays off across chips (it remains the sharded
+        driver's row reduction) — while the chain's chunking runs ~chunk×
+        fewer Householder column loops, the latency-bound cost (~10× faster
+        at 1048576×512 measured).
+      "auto": chain on compiled TPU, tree in interpret mode (keeps the tree
+        covered by the CPU suite).
+    """
     cfg = _cfg(config)
+    if strategy == "auto":
+        strategy = "tree" if resolve_interpret(cfg.interpret) else "chain"
+    if strategy == "chain" and mode != "factor":
+        if a.shape[1] > cfg.nb:
+            raise ValueError(f"tsqr requires n={a.shape[1]} <= nb={cfg.nb}")
+        return qr(a, mode=mode, config=cfg)
     a = jnp.asarray(a, dtype=cfg.dtype)
     m, n = a.shape
     nb = cfg.nb
