@@ -116,3 +116,10 @@ def test_tsqr_chain_matches_tree(rng):
     s = np.sign(np.diag(r_tree)) * np.sign(np.diag(r_chain))
     s[s == 0] = 1
     assert np.linalg.norm(r_chain * s[:, None] - r_tree) / np.linalg.norm(r_tree) < 2e-5
+
+
+def test_qr_check_utility(rng):
+    a = rng.standard_normal((150, 90)).astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG)
+    m = tileqr.qr_check(a, q, r)
+    assert m["relerr"] < 3e-6 and m["orth"] < 1e-4 and m["r_lower"] == 0.0

@@ -34,6 +34,7 @@ from tileqr.api import (
     tsqr,
 )
 from tileqr.drivers.sharded import qr_sharded
+from tileqr.utils.verify import qr_check
 
 __version__ = "0.1.0"
 
@@ -46,6 +47,7 @@ __all__ = [
     "qr",
     "qr_batched",
     "qr_factor",
+    "qr_check",
     "qr_sharded",
     "tsqr",
     "__version__",
