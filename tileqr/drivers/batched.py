@@ -57,6 +57,130 @@ def geqrt_batched(a, interpret: bool = False):
     )(a)
 
 
+def _mk_group_kernel(ib: int, precision):
+    def kernel(a_ref, packed_ref, t_ref):
+        _, g, n, m = a_ref.shape
+        dt = a_ref.dtype
+        one = jnp.ones((), dt)
+        zero = jnp.zeros((), dt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+        packed_ref[0] = a_ref[0]
+        t_ref[0] = jnp.zeros_like(t_ref[0])
+
+        def bdot(x, y, contract):
+            out = jax.lax.dot_general(
+                x, y, dimension_numbers=((contract), ((0,), (0,))),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+            return out.astype(dt)
+
+        kcols = min(m, n)
+        for s in range(0, kcols, ib):
+            e = min(s + ib, kcols)
+            ibk = e - s
+            sub = jax.lax.broadcasted_iota(jnp.int32, (1, ibk, 1), 1)
+            gid = s + sub
+
+            def col_step(jj, _, s=s, e=e, ibk=ibk, sub=sub, gid=gid):
+                j = s + jj
+                xcol = packed_ref[0, :, pl.ds(j, 1), :]  # (G, 1, m)
+                alpha = jnp.sum(jnp.where(lane == j, xcol, zero), axis=2, keepdims=True)
+                tailsq = jnp.sum(
+                    jnp.where(lane > j, xcol * xcol, zero), axis=2, keepdims=True
+                )
+                sgn = jnp.where(alpha >= 0, one, -one)
+                nrm = jnp.sqrt(alpha * alpha + tailsq)
+                has = tailsq > 0
+                beta = jnp.where(has, -sgn * nrm, alpha)
+                tau = jnp.where(has, (beta - alpha) / beta, zero)
+                scale = jnp.where(has, 1 / (alpha - beta), zero)
+                v = jnp.where(lane == j, one, jnp.where(lane > j, xcol * scale, zero))
+                blk = packed_ref[0, :, s:e, :]  # (G, ibk, m)
+                w = jnp.sum(blk * v, axis=2, keepdims=True)
+                packed_ref[0, :, s:e, :] = blk - jnp.where(sub > jj, tau * w, zero) * v
+                packed_ref[0, :, pl.ds(j, 1), :] = jnp.where(
+                    lane == j, beta, jnp.where(lane > j, xcol * scale, xcol)
+                )
+                blk_now = packed_ref[0, :, s:e, :]
+                vt_blk = jnp.where(
+                    sub < jj,
+                    jnp.where(lane == gid, one, jnp.where(lane > gid, blk_now, zero)),
+                    zero,
+                )
+                z = jnp.sum(vt_blk * v, axis=2, keepdims=True)  # (G, ibk, 1)
+                y = jnp.sum(t_ref[0, :, s:e, :] * z, axis=1, keepdims=True)  # (G,1,n)
+                t_ref[0, :, pl.ds(j, 1), :] = jnp.where(
+                    lane_t == j,
+                    tau,
+                    jnp.where((lane_t >= s) & (lane_t < j), -tau * y, zero),
+                )
+                return 0
+
+            jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
+
+            blk_final = packed_ref[0, :, s:e, :]
+            vt_b = jnp.where(lane == gid, one, jnp.where(lane > gid, blk_final, zero))
+            tt_bb = t_ref[0, :, s:e, s:e]
+            if e < n:
+                at_rest = packed_ref[0, :, e:, :]
+                w1 = bdot(at_rest, vt_b, (((2,), (2,))))
+                w2 = bdot(w1, tt_bb, (((2,), (2,))))
+                packed_ref[0, :, e:, :] = at_rest - bdot(w2, vt_b, (((2,), (1,))))
+            if s > 0:
+                sub_p = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+                vt_prev = jnp.where(
+                    lane == sub_p, one,
+                    jnp.where(lane > sub_p, packed_ref[0, :, 0:s, :], zero),
+                )
+                zt = bdot(vt_b, vt_prev, (((2,), (2,))))  # (G, ibk, s)
+                m2 = bdot(zt, t_ref[0, :, 0:s, 0:s], (((2,), (1,))))  # (G, ibk, s)
+                t_ref[0, :, s:e, 0:s] = -bdot(tt_bb, m2, (((2,), (1,))))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "ib", "precision", "interpret"))
+def geqrt_batched_grouped(
+    a, group: int = 16, ib: int = 32, precision: str = "highest", interpret: bool = False
+):
+    """Batched GEQRT with ``group`` matrices per grid step, batch along the
+    kernel's leading dim: per-column latency (the cost that serializes the
+    per-matrix grid path) is amortized group×, and the ib-block reflector
+    applies run as batched MXU contractions. Works on the transposed batch
+    so no per-column lane indexing occurs.
+
+    a: (B, m, n), B % group == 0 → (packed (B, m, n), T (B, n, n)).
+    """
+    b, m, n = a.shape
+    if b % group:
+        raise ValueError(f"batch {b} not divisible by group {group}")
+    dt = a.dtype
+    ng = b // group
+    at = a.transpose(0, 2, 1).reshape(ng, group, n, m)
+    prec = resolve_precision(precision)
+    packed_t, t_t = pl.pallas_call(
+        _mk_group_kernel(ib, prec),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, group, n, m), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((ng, group, n, m), dt),
+            jax.ShapeDtypeStruct((ng, group, n, n), dt),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, group, n, m), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, n, n), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(at)
+    packed = packed_t.reshape(b, n, m).transpose(0, 2, 1)
+    t = t_t.reshape(b, n, n).transpose(0, 2, 1)
+    return packed, t
+
+
 @functools.partial(jax.jit, static_argnames=("ib", "precision"))
 def geqrt_batched_vec(a, ib: int = 32, precision: str = "highest"):
     """Batch-vectorized GEQRT (pure XLA, no Pallas): the Householder column
@@ -74,24 +198,28 @@ def geqrt_batched_vec(a, ib: int = 32, precision: str = "highest"):
     b, m, n = a.shape
     dt = a.dtype
     kcols = min(m, n)
-    row_ids = jnp.arange(m)[None, :]
     one = jnp.ones((), dt)
     zero = jnp.zeros((), dt)
 
     def ee(spec, x, y):
         return jnp.einsum(spec, x, y, precision=prec, preferred_element_type=jnp.float32).astype(dt)
 
-    tmat = jnp.zeros((b, n, n), dt)
-    vmat = jnp.zeros((b, m, n), dt)
+    # transposed batch layout (B, n, m): columns live along sublanes, matrix
+    # rows along lanes — per-column slicing/updates never index the lane
+    # dimension (the row-major form costs a lane gather per column)
+    at = a.transpose(0, 2, 1)
+    lane_r = jnp.arange(m)[None, :]  # (1, m) row ids
+    tt = jnp.zeros((b, n, n), dt)  # Tᵀ per batch: row j = column j of T
+    vt = jnp.zeros((b, n, m), dt)  # Vᵀ per batch: row j = reflector v_j
 
     for s in range(0, kcols, ib):
         e = min(s + ib, kcols)
         ibk = e - s
         for jj in range(ibk):
             j = s + jj
-            col = a[:, :, j]  # (B, m)
+            col = at[:, j, :]  # (B, m) — column j of each matrix
             alpha = col[:, j]  # (B,)
-            tail = jnp.where(row_ids > j, col, zero)
+            tail = jnp.where(lane_r > j, col, zero)
             tailsq = jnp.sum(tail * tail, axis=1)
             sgn = jnp.where(alpha >= 0, one, -one)
             nrm = jnp.sqrt(alpha * alpha + tailsq)
@@ -100,42 +228,45 @@ def geqrt_batched_vec(a, ib: int = 32, precision: str = "highest"):
             tau = jnp.where(has, (beta - alpha) / beta, zero)
             scale = jnp.where(has, 1 / (alpha - beta), zero)
             v = jnp.where(
-                row_ids == j, one, jnp.where(row_ids > j, col * scale[:, None], zero)
+                lane_r == j, one, jnp.where(lane_r > j, col * scale[:, None], zero)
             )  # (B, m)
             if j + 1 < e:
-                blk = a[:, :, j + 1 : e]
-                wv = ee("bm,bmw->bw", v, blk)
-                a = a.at[:, :, j + 1 : e].add(
-                    -(tau[:, None] * v)[:, :, None] * wv[:, None, :]
+                blk = at[:, j + 1 : e, :]  # (B, w, m)
+                wv = ee("bm,bwm->bw", v, blk)
+                at = at.at[:, j + 1 : e, :].add(
+                    -(tau[:, None] * wv)[:, :, None] * v[:, None, :]
                 )
             newcol = jnp.where(
-                row_ids == j,
+                lane_r == j,
                 beta[:, None],
-                jnp.where(row_ids > j, col * scale[:, None], col),
+                jnp.where(lane_r > j, col * scale[:, None], col),
             )
-            a = a.at[:, :, j].set(newcol)
-            # block-local T column
-            vblk = vmat[:, :, s:e]  # rows >= jj still zero
-            z = ee("bm,bmi->bi", v, vblk)
-            y = ee("bij,bj->bi", tmat[:, s:e, s:e], z)
-            iic = jnp.arange(ibk)[None, :]
-            tcol = jnp.where(
-                iic == jj, tau[:, None], jnp.where(iic < jj, -tau[:, None] * y, zero)
+            at = at.at[:, j, :].set(newcol)
+            # block-local T column (vt rows >= jj of the block still zero)
+            z = ee("bim,bm->bi", vt[:, s:e, :], v)  # (B, ibk)
+            # tt block rows = T[r, s+l] over all lanes r → block matvec lands
+            # at the right global positions (same trick as the kernel)
+            y = ee("bin,bi->bn", tt[:, s:e, :], z)  # (B, n)
+            lane_t = jnp.arange(n)[None, :]
+            trow = jnp.where(
+                lane_t == j,
+                tau[:, None],
+                jnp.where((lane_t >= s) & (lane_t < j), -tau[:, None] * y, zero),
             )
-            tmat = tmat.at[:, s:e, j].set(tcol)
-            vmat = vmat.at[:, :, j].set(v)
-        vb = vmat[:, :, s:e]
-        tb = tmat[:, s:e, s:e]
+            tt = tt.at[:, j, :].set(trow)
+            vt = vt.at[:, j, :].set(v)
+        vb = vt[:, s:e, :]  # (B, ibk, m)
+        tbt = tt[:, s:e, s:e]  # (B, ibk, ibk) = T_bᵀ
         if e < n:
-            rest = a[:, :, e:]
-            g = ee("bmi,bmr->bir", vb, rest)
-            g2 = ee("bji,bjr->bir", tb, g)
-            a = a.at[:, :, e:].add(-ee("bmi,bir->bmr", vb, g2))
+            rest = at[:, e:, :]  # (B, n_rest, m)
+            w1 = ee("brm,bim->bri", rest, vb)  # (V_bᵀ A_rest)ᵀ
+            w2 = ee("bri,bji->brj", w1, tbt)  # hold (T_bᵀ V_bᵀ A_rest)ᵀ
+            at = at.at[:, e:, :].add(-ee("brj,bjm->brm", w2, vb))
         if s > 0:
-            z1 = ee("bmp,bmi->bpi", vmat[:, :, :s], vb)
-            m2 = ee("bqp,bpi->bqi", tmat[:, :s, :s], z1)
-            tmat = tmat.at[:, :s, s:e].set(-ee("bqi,bij->bqj", m2, tb))
-    return a, tmat
+            zt = ee("bim,bpm->bip", vb, vt[:, :s, :])  # V_bᵀ V1 (ibk, s)
+            m2 = ee("bip,bpq->biq", zt, tt[:, :s, :s])  # · T1ᵀ
+            tt = tt.at[:, s:e, :s].set(-ee("bji,biq->bjq", tbt, m2))
+    return at.transpose(0, 2, 1), tt.transpose(0, 2, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "precision", "interpret"))
@@ -153,8 +284,18 @@ def qr_batched(
     b, m, n = a.shape
     if n > m:
         raise ValueError("qr_batched requires m >= n")
-    # batch-vectorized path: amortizes the serial column latency over B
-    packed, t = geqrt_batched_vec(a, precision=precision)
+    # grouped kernel (group matrices per grid step) amortizes the serial
+    # column latency; fall back per divisibility (group must divide B)
+    interp = resolve_interpret(interpret)
+    group = 16
+    while group > 1 and b % group:
+        group //= 2
+    if group > 1:
+        packed, t = geqrt_batched_grouped(
+            a, group=group, precision=precision, interpret=interp
+        )
+    else:
+        packed, t = geqrt_batched_vec(a, precision=precision)
     r = jax.vmap(lambda p: triu(p[:n, :]))(packed)
     if mode == "r":
         return r
