@@ -26,6 +26,12 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# persistent compilation cache: the 64-panel executables take minutes through
+# this environment's remote-compile service; cache entries live in the repo
+# so repeat bench runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from tileqr.drivers.square import qr_tiled  # noqa: E402
 
 N = int(os.environ.get("TILEQR_BENCH_N", "8192"))
