@@ -26,8 +26,9 @@ if not os.environ.get("TILEQR_TEST_TPU"):
     # registers the TPU backend and overrides JAX_PLATFORMS, but the config
     # knob still wins if set before first backend use.
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_enable_x64", True)  # fp64 oracles alongside fp32 paths
+    # fp64 oracles alongside fp32 paths — CPU only (x64 on TPU breaks
+    # tracing: dtype promotion recursion + no native f64)
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -130,6 +130,8 @@ def tsqr(
         covered by the CPU suite).
     """
     cfg = _cfg(config)
+    if strategy not in ("auto", "tree", "chain"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain)")
     if strategy == "auto":
         strategy = "tree" if resolve_interpret(cfg.interpret) else "chain"
     if strategy == "chain" and mode != "factor":
