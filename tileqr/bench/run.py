@@ -72,10 +72,13 @@ def bench_square(n, nb, ib, precision, chain, check, chunk=4):
         "backend": jax.default_backend(),
     }
     if check:
-        packed, r_diag, t_g, t_t = qr_tiled(a, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu)
+        packed, r_diag, t_geqrt, panels = qr_tiled(
+            a, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu
+        )
         r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
         qta = np.asarray(
-            apply_q_tiled(packed, t_g, t_t, a, nb, chunk=chunk, trans=True, precision=precision, interpret=not on_tpu)
+            apply_q_tiled(panels, t_geqrt, a, nb, chunk=chunk, trans=True,
+                          precision=precision, interpret=not on_tpu)
         ).astype(np.float64)
         rec["relerr"] = float(np.linalg.norm(qta - r) / np.linalg.norm(np.asarray(a)))
     return rec
@@ -127,8 +130,10 @@ def bench_tsqr(m, cols, nb, chain):
     }
 
 
-def bench_batched(batch, cols, chain):
-    from tileqr.drivers.batched import geqrt_batched
+def bench_batched(batch, cols, chain, check=False):
+    """Measures the production qr_batched path (the grouped kernel — the
+    per-matrix-grid geqrt_batched is ~6.8x slower and not what ships)."""
+    from tileqr.drivers.batched import qr_batched
 
     on_tpu = jax.default_backend() == "tpu"
     a = jnp.asarray(
@@ -139,18 +144,28 @@ def bench_batched(batch, cols, chain):
         @jax.jit
         def f(x):
             for _ in range(k):
-                packed, t = geqrt_batched(x, interpret=not on_tpu)
-                x = packed
+                q, r = qr_batched(x, interpret=not on_tpu)
+                x = q + r * jnp.float32(1e-9)
             return x
 
         return f
 
     t = per_iter(make, a, chain)
-    return {
-        "bench": "qr_batched", "batch": batch, "n": cols, "ms": round(t * 1e3, 3),
+    rec = {
+        "bench": "qr_batched", "kernel": "grouped", "batch": batch, "n": cols,
+        "ms": round(t * 1e3, 3),
         "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 3),
         "backend": jax.default_backend(),
     }
+    if check:
+        q, r = qr_batched(a, interpret=not on_tpu)
+        q64 = np.asarray(q).astype(np.float64)
+        r64 = np.asarray(r).astype(np.float64)
+        a64 = np.asarray(a).astype(np.float64)
+        num = np.linalg.norm(q64 @ r64 - a64, axis=(1, 2))
+        den = np.linalg.norm(a64, axis=(1, 2))
+        rec["relerr_max"] = float((num / den).max())
+    return rec
 
 
 def main():
@@ -185,7 +200,7 @@ def main():
             for nb in [int(x) for x in args.nbs.split(",")]:
                 print(json.dumps(bench_tsqr(n, args.cols, nb, args.chain)), flush=True)
         elif args.mode == "batched":
-            print(json.dumps(bench_batched(args.batch, args.cols, args.chain)), flush=True)
+            print(json.dumps(bench_batched(args.batch, args.cols, args.chain, args.check)), flush=True)
 
 
 if __name__ == "__main__":
