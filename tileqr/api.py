@@ -146,7 +146,7 @@ def tsqr(
     mp = round_up(m, nb)
     np_ = round_up(n, 8)
     ap = jnp.pad(a, ((0, mp - m), (0, np_ - n)))
-    f = tsqr_factor(ap, nb, interpret=cfg.interpret)
+    f = tsqr_factor(ap, nb, ib=cfg.ib, interpret=cfg.interpret)
     r = f.r[:n, :n]
     if mode == "r":
         return r

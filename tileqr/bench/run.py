@@ -68,7 +68,7 @@ def bench_square(n, nb, ib, precision, chain, check, chunk=4):
     rec = {
         "bench": "qr_square", "n": n, "nb": nb, "ib": ib, "chunk": chunk,
         "precision": precision, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(n, n) / t / 1e12, 3),
+        "tflops": round(qr_flops(n, n) / t / 1e12, 6),
         "backend": jax.default_backend(),
     }
     if check:
@@ -100,7 +100,7 @@ def bench_jnp_qr(n, chain):
     t = per_iter(make, a, chain)
     return {
         "bench": "jnp_linalg_qr", "n": n, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(n, n) / t / 1e12, 3),
+        "tflops": round(qr_flops(n, n) / t / 1e12, 6),
         "backend": jax.default_backend(),
     }
 
@@ -125,7 +125,7 @@ def bench_tsqr(m, cols, nb, chain):
     t = per_iter(make, a, chain)
     return {
         "bench": "tsqr", "m": m, "n": cols, "nb": nb, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(m, cols) / t / 1e12, 3),
+        "tflops": round(qr_flops(m, cols) / t / 1e12, 6),
         "backend": jax.default_backend(),
     }
 
@@ -154,7 +154,7 @@ def bench_batched(batch, cols, chain, check=False):
     rec = {
         "bench": "qr_batched", "kernel": "grouped", "batch": batch, "n": cols,
         "ms": round(t * 1e3, 3),
-        "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 3),
+        "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 6),
         "backend": jax.default_backend(),
     }
     if check:

@@ -93,20 +93,30 @@ def qr_tiled(
 
         nt_rem = nt - k - 1
         if nt_rem > 0:
+            # the diagonal-tile LARFB is fused into the first couple sweep
+            # (one fewer dispatch + one fewer strip HBM round-trip per panel)
             strip = a[k * nb : (k + 1) * nb, (k + 1) * nb :]
-            strip = larfb_strip(
-                v_stack[0], tg_k, strip, nb, trans=True,
-                precision=precision, interpret=interpret,
-            )
             if n_head > 0:
                 a, strip = couple_strip(
                     v_stack, t2h, a, strip, 1, k + 1, n_head, nb, nb, k + 1,
                     trans=True, precision=precision, interpret=interpret,
+                    vkk=v_stack[0], tg=tg_k,
                 )
-            if nc > 0:
+                if nc > 0:
+                    a, strip = couple_strip(
+                        v_chunks, t2t, a, strip, 0, base, nc, c * nb, nb, k + 1,
+                        trans=True, precision=precision, interpret=interpret,
+                    )
+            elif nc > 0:
                 a, strip = couple_strip(
                     v_chunks, t2t, a, strip, 0, base, nc, c * nb, nb, k + 1,
                     trans=True, precision=precision, interpret=interpret,
+                    vkk=v_stack[0], tg=tg_k,
+                )
+            else:
+                strip = larfb_strip(
+                    v_stack[0], tg_k, strip, nb, trans=True,
+                    precision=precision, interpret=interpret,
                 )
             a = jax.lax.dynamic_update_slice(a, strip, (k * nb, (k + 1) * nb))
     return a, jnp.stack(r_diag), jnp.stack(t_geqrt), tuple(panels)
@@ -150,35 +160,49 @@ def apply_q_tiled(
         v_stack, t2h, v_chunks, t2t = panels[k]
         strip = cm[k * nb : (k + 1) * nb, :]
         if trans:
-            strip = larfb_strip(
-                v_stack[0], t_geqrt[k], strip, nb, trans=True,
-                precision=precision, interpret=interpret,
-            )
+            # LARFB fused into the first couple sweep (factor order)
             if n_head > 0:
                 cm, strip = couple_strip(
                     v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, 0,
                     trans=True, precision=precision, interpret=interpret,
+                    vkk=v_stack[0], tg=t_geqrt[k],
                 )
-            if nc > 0:
+                if nc > 0:
+                    cm, strip = couple_strip(
+                        v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
+                        trans=True, precision=precision, interpret=interpret,
+                    )
+            elif nc > 0:
                 cm, strip = couple_strip(
                     v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
                     trans=True, precision=precision, interpret=interpret,
+                    vkk=v_stack[0], tg=t_geqrt[k],
+                )
+            else:
+                strip = larfb_strip(
+                    v_stack[0], t_geqrt[k], strip, nb, trans=True,
+                    precision=precision, interpret=interpret,
                 )
         else:
+            # LARFB fused into the last couple sweep (Q-apply order)
             if nc > 0:
                 cm, strip = couple_strip(
                     v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
+                    vkk=None if n_head > 0 else v_stack[0],
+                    tg=None if n_head > 0 else t_geqrt[k],
                 )
             if n_head > 0:
                 cm, strip = couple_strip(
                     v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, 0,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
+                    vkk=v_stack[0], tg=t_geqrt[k],
                 )
-            strip = larfb_strip(
-                v_stack[0], t_geqrt[k], strip, nb, trans=False,
-                precision=precision, interpret=interpret,
-            )
+            if n_head == 0 and nc == 0:
+                strip = larfb_strip(
+                    v_stack[0], t_geqrt[k], strip, nb, trans=False,
+                    precision=precision, interpret=interpret,
+                )
         return jax.lax.dynamic_update_slice(cm, strip, (k * nb, 0))
 
     ks = range(k_max) if trans else range(k_max - 1, -1, -1)

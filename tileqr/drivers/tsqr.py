@@ -49,24 +49,27 @@ class TSQRFactors(NamedTuple):
     shape: Tuple[int, int]
 
 
-def _leaf_kernel(a_ref, packed_ref, r_ref, t_ref, at_scr, tt_scr):
-    nb, n = a_ref.shape
-    at_scr[:] = a_ref[:].T
-    tt_scr[:] = jnp.zeros_like(tt_scr)
-    geqrt_in_refs(at_scr, tt_scr, n)
-    packed = at_scr[:].T
-    packed_ref[:] = packed
-    r_ref[0] = triu(packed[:n, :])
-    t_ref[0] = tt_scr[:].T
+def _mk_leaf_kernel(ib: int):
+    def _leaf_kernel(a_ref, packed_ref, r_ref, t_ref, at_scr, tt_scr):
+        nb, n = a_ref.shape
+        at_scr[:] = a_ref[:].T
+        tt_scr[:] = jnp.zeros_like(tt_scr)
+        geqrt_in_refs(at_scr, tt_scr, n, ib=ib)
+        packed = at_scr[:].T
+        packed_ref[:] = packed
+        r_ref[0] = triu(packed[:n, :])
+        t_ref[0] = tt_scr[:].T
+
+    return _leaf_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def _leaves(a, nb: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("nb", "ib", "interpret"))
+def _leaves(a, nb: int, ib: int, interpret: bool):
     m, n = a.shape
     p = m // nb
     dt = a.dtype
     return pl.pallas_call(
-        _leaf_kernel,
+        _mk_leaf_kernel(ib),
         grid=(p,),
         in_specs=[pl.BlockSpec((nb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_shape=(
@@ -87,7 +90,9 @@ def _leaves(a, nb: int, interpret: bool):
     )(a)
 
 
-def tsqr_factor(a: jnp.ndarray, nb: int, interpret: bool | None = None) -> TSQRFactors:
+def tsqr_factor(
+    a: jnp.ndarray, nb: int, ib: int = 32, interpret: bool | None = None
+) -> TSQRFactors:
     """TSQR-factor a tall-skinny A (M, n) with n <= nb, M % nb == 0."""
     m, n = a.shape
     if n > nb:
@@ -95,7 +100,7 @@ def tsqr_factor(a: jnp.ndarray, nb: int, interpret: bool | None = None) -> TSQRF
     if m % nb:
         raise ValueError(f"M={m} not a multiple of nb={nb}")
     interp = resolve_interpret(interpret)
-    packed, rs, ts = _leaves(a, nb, interp)
+    packed, rs, ts = _leaves(a, nb, min(ib, n), interp)
 
     batched_ttqrt = jax.vmap(lambda r1, r2: _tsqrt_call(r1, r2, interp))
     levels: List = []

@@ -107,19 +107,41 @@ def panel_chain(
     )(a, r_in)
 
 
-def _couple_strip_kernel_factory(trans: bool, precision):
-    def kernel(v2_ref, t2_ref, strip_in_ref, cbot_ref, c_out_ref, strip_out_ref):
+def _couple_strip_kernel_factory(trans: bool, precision, fuse_larfb: bool,
+                                 reverse: bool, n_inner: int):
+    """fuse_larfb: also apply the diagonal-tile GEQRT block reflector to the
+    resident strip — at the first inner step (forward/factor order: LARFB
+    precedes the couples) or the last (reverse/Q-apply order: LARFB follows) —
+    saving the separate larfb_strip dispatch + strip HBM round-trip."""
+
+    def kernel(*refs):
+        if fuse_larfb:
+            vkk_ref, tg_ref, v2_ref, t2_ref, strip_in_ref, cbot_ref, c_out_ref, strip_out_ref = refs
+        else:
+            v2_ref, t2_ref, strip_in_ref, cbot_ref, c_out_ref, strip_out_ref = refs
         ii = pl.program_id(1)
 
         @pl.when(ii == 0)
         def _():
-            strip_out_ref[:] = strip_in_ref[:]
+            s = strip_in_ref[:]
+            if fuse_larfb and not reverse:
+                s = larfb_body(vkk_ref[:], tg_ref[:], s, trans, precision)
+            strip_out_ref[:] = s
 
         top, bot = ssrfb_body(
             v2_ref[0], t2_ref[0], strip_out_ref[:], cbot_ref[:], trans, precision
         )
-        strip_out_ref[:] = top
         c_out_ref[:] = bot
+        if fuse_larfb and reverse:
+            @pl.when(ii == n_inner - 1)
+            def _():
+                strip_out_ref[:] = larfb_body(vkk_ref[:], tg_ref[:], top, trans, precision)
+
+            @pl.when(ii != n_inner - 1)
+            def _():
+                strip_out_ref[:] = top
+        else:
+            strip_out_ref[:] = top
 
     return kernel
 
@@ -146,6 +168,8 @@ def couple_strip(
     reverse: bool = False,
     precision: str = "highest",
     interpret: bool = False,
+    vkk=None,
+    tg=None,
 ):
     """Apply ``n_chunks`` chunk couples to (strip, C) — the SSRFB sweep with
     the top row strip carried in VMEM across the inner grid dimension.
@@ -155,7 +179,9 @@ def couple_strip(
     exactly once and aliased in place; its row-blocks base_block + ii (units
     of block_rows) are the couple bottoms. strip: (nb, (Pt-col_start)·nb).
     reverse: iterate chunks descending (Q-apply order).
-    Returns (c', strip').
+    vkk/tg: when given, the diagonal-tile LARFB is fused into the sweep
+    (first inner step forward, last inner step reverse) instead of needing a
+    separate larfb_strip dispatch. Returns (c', strip').
     """
     mc, p = c.shape
     pt = p // nb - col_start
@@ -167,11 +193,25 @@ def couple_strip(
         blk_of = lambda ii: base_block + ii  # noqa: E731
         sl_of = lambda ii: stack_base + ii  # noqa: E731
 
-    kernel = _couple_strip_kernel_factory(trans, resolve_precision(precision))
+    fuse_larfb = vkk is not None
+    kernel = _couple_strip_kernel_factory(
+        trans, resolve_precision(precision), fuse_larfb, reverse, n_chunks
+    )
+    larfb_specs = (
+        [
+            pl.BlockSpec((nb, nb), lambda j, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb), lambda j, ii: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if fuse_larfb
+        else []
+    )
+    larfb_args = (vkk, tg) if fuse_larfb else ()
+    n_in = len(larfb_specs)
     return pl.pallas_call(
         kernel,
         grid=(pt, n_chunks),
-        in_specs=[
+        in_specs=larfb_specs
+        + [
             pl.BlockSpec(
                 (1, block_rows, nb), lambda j, ii: (sl_of(ii), 0, 0), memory_space=pltpu.VMEM
             ),
@@ -193,12 +233,12 @@ def couple_strip(
             ),
             pl.BlockSpec((nb, nb), lambda j, ii: (0, j), memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={3: 0},
+        input_output_aliases={n_in + 3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(v_stack, t2_stack, strip, c)
+    )(*larfb_args, v_stack, t2_stack, strip, c)
 
 
 def _larfb_strip_kernel_factory(trans: bool, precision):

@@ -25,6 +25,14 @@ structure the body handles for free, and the batched path grids over it.
 Math contract (ref/tile_ops.py:geqrt, LAPACK xLARFG/xLARFT semantics):
   beta = -sign(alpha) * ||x||;  v = x/(alpha-beta), v0 = 1;
   tau = (beta-alpha)/beta;  T[j,j] = tau;  T[:j,j] = -tau T[:j,:j] (Vᵀ v_j).
+
+Input-magnitude limit: the column norm is computed as sqrt(alpha² + Σx²) in
+the working dtype with NO xLARFG-style rescaling — fp32 columns whose entries
+exceed ~1e19 in magnitude (norm² > fp32 max ≈ 3.4e38) overflow to inf.
+Rescaling would put a max-abs reduction + multiply on the latency-bound
+serial column path to guard a regime ~1e16× beyond the benchmark data range;
+callers with extreme-scale data should pre-scale the matrix (QR commutes with
+scalar scaling: QR(cA) = (Q, cR)).
 """
 
 from __future__ import annotations
@@ -79,12 +87,14 @@ def geqrt_in_refs(
             lane_r == gid, one, jnp.where(lane_r > gid, rows_slice, zero)
         )
 
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
     for s in range(0, kcols, ib):
         ibk = min(ib, kcols - s)  # static per block
         sub_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, 1), 0)
         gid_b = s + sub_b
 
-        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b, gid_b=gid_b):
+        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b):
             j = s + jj
             xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
             # keep the Householder scalars as (1, 1) vregs — a scalar-register
@@ -102,42 +112,65 @@ def geqrt_in_refs(
             scale = jnp.where(has_tail, 1 / (alpha - beta), zero)
             v = jnp.where(lane_r == j, one, jnp.where(lane_r > j, xrow * scale, zero))
 
-            # rank-1 update confined to the block's columns (rows s..s+ibk of at)
+            # one merged store: rows > jj get the rank-1 trailing update, row
+            # jj gets the packed column (R above the diagonal, beta on it, v
+            # below), rows < jj are final (rewritten unchanged) — a single
+            # store keeps the serial critical path (load → reduce → sqrt/div →
+            # w-reduce → store) as short as possible; T is built AFTER the
+            # loop from the gram matrix, off this path entirely.
             blk = at_ref[s : s + ibk, :]
             w = jnp.sum(blk * v, axis=1, keepdims=True)  # (ibk, 1)
-            at_ref[s : s + ibk, :] = blk - jnp.where(sub_b > jj, tau * w, zero) * v
-
-            # packed column j: R above the diagonal kept, beta on it, v below
-            at_ref[pl.ds(j, 1), :] = jnp.where(
+            packed_j = jnp.where(
                 lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
             )
-
-            # block-local T build: z = V_b[:, :jj]ᵀ v_j with V rows
-            # reconstructed from the packed rows (rows < jj are final).
-            blk_now = at_ref[s : s + ibk, :]
-            vt_blk = jnp.where(
-                sub_b < jj,
-                jnp.where(lane_r == gid_b, one, jnp.where(lane_r > gid_b, blk_now, zero)),
-                zero,
+            at_ref[s : s + ibk, :] = jnp.where(
+                sub_b == jj,
+                packed_j,
+                blk - jnp.where(sub_b > jj, tau * w, zero) * v,
             )
-            z = jnp.sum(vt_blk * v, axis=1, keepdims=True)  # (ibk, 1)
-            # Full-lane-width compute/store (Mosaic rejects dynamic stores at
-            # unaligned lane offsets): tt block rows hold T[r, s+l] across all
-            # lanes r, so the block matvec lands at the right global lanes,
-            # and lanes outside [s, j) are zero (T upper-tri + unwritten).
-            y = jnp.sum(tt_ref[s : s + ibk, :] * z, axis=0, keepdims=True)  # (1, n)
-            lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-            tt_ref[pl.ds(j, 1), :] = jnp.where(
-                lane_t == j,
-                tau,
-                jnp.where((lane_t >= s) & (lane_t < j), -tau * y, zero),
-            )
+            # stash tau on T's diagonal (no in-loop dependencies; consumed by
+            # the post-loop T build)
+            tt_ref[pl.ds(j, 1), :] = jnp.where(lane_t == j, tau, zero)
             return 0
 
         jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
 
         vt_b = recon_vt(at_ref[s : s + ibk, :], s, ibk)  # (ibk, m) = V_bᵀ
-        tt_bb = tt_ref[s : s + ibk, s : s + ibk]  # (ibk, ibk) = T_bᵀ
+
+        # post-loop block T build (LAPACK xLARFT, but latency-free): with
+        # G = V_bᵀV_b (one MXU gram) and T₀ = diag(τ), the doubling recurrence
+        #   T ← T − T (G ⊙ M_b) T,  M_b = cross-block mask at pair width b,
+        # composes T for widths 1,2,4,… (T12 = −T1 (V1ᵀV2) T2 for every
+        # adjacent pair at once) in ⌈log2 ibk⌉ tiny matmuls — no serial
+        # column recurrence. Computed transposed (ttb = T_bᵀ, lower-tri).
+        g = contract_lanes(vt_b, vt_b)  # (ibk, ibk) gram, symmetric
+        taus = jnp.sum(
+            jnp.where(
+                gid_b == jax.lax.broadcasted_iota(jnp.int32, (ibk, ibk), 1) + s,
+                tt_ref[s : s + ibk, s : s + ibk],
+                zero,
+            ),
+            axis=1,
+            keepdims=True,
+        )  # (ibk, 1) = τ per block column
+        rows_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, ibk), 0)
+        cols_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, ibk), 1)
+        ttb = jnp.where(rows_b == cols_b, taus, zero)
+        bsz = 1
+        while bsz < ibk:
+            # transposed recurrence: Tᵀ ← Tᵀ − Tᵀ (G ⊙ Mᵀ) Tᵀ with the mask
+            # selecting (row block = col block + 1, col block even)
+            mask = ((cols_b // bsz) % 2 == 0) & (rows_b // bsz == cols_b // bsz + 1)
+            gm = jnp.where(mask, g, zero)
+            ttb = ttb - jnp.dot(
+                ttb,
+                jnp.dot(gm, ttb, precision=precision, preferred_element_type=jnp.float32).astype(dt),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            bsz *= 2
+        tt_ref[s : s + ibk, s : s + ibk] = ttb
+        tt_bb = ttb  # (ibk, ibk) = T_bᵀ
 
         # MXU block apply to all remaining columns: A_rest ← A_rest − V_b T_bᵀ V_bᵀ A_rest
         if s + ibk < n:

@@ -144,46 +144,5 @@ def couple_apply(
     )(packed, tg, packed, t2stack, c, c)
 
 
-def _mk_row_kernel(trans: bool, precision):
-    def kernel(vkk_ref, tg_ref, ctop_ref, row_out_ref):
-        row_out_ref[:] = larfb_body(vkk_ref[:], tg_ref[:], ctop_ref[:], trans, precision)
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k", "col_start", "nb", "trans", "precision", "interpret")
-)
-def larfb_row(
-    packed,
-    tg,
-    c,
-    k: int,
-    col_start: int,
-    nb: int,
-    trans: bool = True,
-    precision: str = "highest",
-    interpret: bool = False,
-):
-    """LARFB-only sweep over row k of c (the mt_rem == 1 case: no couples).
-
-    Returns the updated row strip (nb, (Pt-col_start)·nb); caller splices.
-    """
-    _m, p = c.shape
-    pt = p // nb - col_start
-    assert pt >= 1
-    return pl.pallas_call(
-        _mk_row_kernel(trans, resolve_precision(precision)),
-        grid=(pt,),
-        in_specs=[
-            pl.BlockSpec((nb, nb), lambda j: (k, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, nb), lambda j: (k, col_start + j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=jax.ShapeDtypeStruct((nb, pt * nb), c.dtype),
-        out_specs=pl.BlockSpec((nb, nb), lambda j: (0, j), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=interpret,
-    )(packed, tg, c)
+# (A LARFB-only row sweep for the no-couples case is not needed: the
+# drivers route that case through kernels/chain.py:larfb_strip.)
