@@ -56,3 +56,28 @@ def test_batched(rng):
     ri = np.asarray(r[i]).astype(np.float64)
     assert np.linalg.norm(b[i] - qi @ ri) / np.linalg.norm(b[i]) < 2e-6
     assert np.linalg.norm(qi.T @ qi - np.eye(128)) < 1e-4
+
+
+def test_sharded_1x1_mesh_compiles(rng):
+    """Config-5 kernel coverage on hardware (VERDICT r1 next-#4): a 1×1 mesh
+    runs the identical shard_map program (panel_factor with wrows stacks,
+    couple_apply windows, dummy-tile padding) as a v5e-8 would, compiling the
+    sharded driver's Mosaic kernels on a real chip — previously these had
+    only ever executed in interpret mode on the CPU mesh."""
+    import jax
+
+    from tileqr.core.config import QRConfig
+    from tileqr.drivers.sharded import (
+        apply_q_sharded,
+        assemble_r_sharded,
+        qr_sharded_factor,
+    )
+
+    mesh = jax.make_mesh((1, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=256, mesh_shape=(1, 1), interpret=False)
+    a = rng.standard_normal((2048, 2048)).astype(np.float32)
+    f = qr_sharded_factor(jnp.asarray(a), mesh=mesh, config=cfg)
+    r = assemble_r_sharded(f).astype(np.float64)
+    qta = apply_q_sharded(f, jnp.asarray(a), mesh=mesh, trans=True, config=cfg)
+    qta = np.asarray(qta).astype(np.float64)
+    assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 1e-6

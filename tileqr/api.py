@@ -21,7 +21,13 @@ from tileqr.core.config import QRConfig
 from tileqr.core.layout import pad_to_tiles, round_up
 from tileqr.drivers.batched import qr_batched as _qr_batched
 from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
-from tileqr.drivers.tsqr import TSQRFactors, tsqr_apply_q, tsqr_factor
+from tileqr.drivers.tsqr import (
+    TSQRFactors,
+    auto_leaf_rows,
+    tsqr_apply_q,
+    tsqr_factor,
+    tsqr_form_q,
+)
 from tileqr.kernels.common import resolve_interpret
 
 
@@ -117,17 +123,15 @@ def tsqr(
     "factor" → TSQRFactors (for tsqr_apply_q).
 
     strategy:
-      "tree": the TSQR/TTQRT binary-tree reduction (reference path C8) —
-        leaf GEQRT grid + vmapped TTQRT levels.
+      "tree": the TSQR/TTQRT tree reduction (reference path C8), tall
+        staged leaves + wide-arity combines (drivers/tsqr.py) — wall-clock
+        ∝ (#leaves + #combines) Householder column loops, minimized by
+        VMEM-budget-sized leaves and arity-8 levels.
       "chain": route through the chunked square driver (one wide panel,
-        R carried in VMEM across chunk couples). On a single chip the tree
-        and the chain do the SAME number of couple combines — the tree's
-        log-depth only pays off across chips (it remains the sharded
-        driver's row reduction) — while the chain's chunking runs ~chunk×
-        fewer Householder column loops, the latency-bound cost (~10× faster
-        at 1048576×512 measured).
-      "auto": chain on compiled TPU, tree in interpret mode (keeps the tree
-        covered by the CPU suite).
+        R carried in VMEM across chunk couples).
+      "auto": tree — it supports factor/apply/form-q without tying up the
+        square driver's packed layout, and measures within noise of the
+        chain at the 1048576×512 config (BASELINE.md).
     """
     cfg = _cfg(config)
     if strategy not in ("auto", "tree", "chain"):
@@ -143,18 +147,19 @@ def tsqr(
     nb = cfg.nb
     if n > nb:
         raise ValueError(f"tsqr requires n={n} <= nb={nb}")
-    mp = round_up(m, nb)
     np_ = round_up(n, 8)
+    lr = auto_leaf_rows(round_up(m, 8), np_)
+    mp = round_up(m, lr)
     ap = jnp.pad(a, ((0, mp - m), (0, np_ - n)))
-    f = tsqr_factor(ap, nb, ib=cfg.ib, interpret=cfg.interpret)
+    f = tsqr_factor(ap, nb, ib=cfg.ib, interpret=cfg.interpret, leaf_rows=lr)
     r = f.r[:n, :n]
     if mode == "r":
         return r
     if mode == "factor":
         return f
     if mode == "reduced":
-        eye = jnp.eye(mp, np_, dtype=ap.dtype)
-        q = tsqr_apply_q(f, eye, trans=False, precision=cfg.precision, interpret=cfg.interpret)
+        # leaf-local Q assembly — no M×n identity is materialized
+        q = tsqr_form_q(f, precision=cfg.precision)
         return q[:m, :n], r
     raise ValueError(f"unknown mode {mode!r}")
 

@@ -23,7 +23,11 @@ class QRConfig:
         acceptance-config value (BASELINE.json:8).
       ib: inner blocking inside the panel kernels: ``ib`` Householder columns
         are produced with VPU rank-1 updates, then the rest of the tile is
-        updated with one MXU block-apply. Must divide nb.
+        updated with one MXU block-apply. Must divide nb (clamped to nb when
+        nb < ib). Default 128: with the post-loop T build the per-block
+        boundary costs (MXU apply + T compose dispatches) dominate over the
+        in-loop rank-1 width, so fewer/wider blocks win (measured 7.79 ms vs
+        9.46 ms at 4096², ib=128 vs 64).
       dtype: compute dtype (fp32 is the acceptance dtype).
       precision: jax.lax matmul precision used *inside* kernels. "highest"
         (bf16x6 passes on v5e MXU) keeps fp32-accurate trailing updates;
@@ -45,7 +49,7 @@ class QRConfig:
     """
 
     nb: int = 256
-    ib: int = 32
+    ib: int = 128
     chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
@@ -55,6 +59,8 @@ class QRConfig:
     def __post_init__(self):
         if self.nb % 8 != 0:
             raise ValueError(f"nb={self.nb} must be a multiple of 8")
+        if self.ib > self.nb:
+            object.__setattr__(self, "ib", self.nb)
         if self.nb % self.ib != 0:
             raise ValueError(f"ib={self.ib} must divide nb={self.nb}")
 

@@ -83,7 +83,9 @@ def _mk_group_kernel(ib: int, precision):
             sub = jax.lax.broadcasted_iota(jnp.int32, (1, ibk, 1), 1)
             gid = s + sub
 
-            def col_step(jj, _, s=s, e=e, ibk=ibk, sub=sub, gid=gid):
+            def col_step(jj, _, s=s, e=e, ibk=ibk, sub=sub):
+                # slim loop (kernels/geqrt.py): one merged block store; T is
+                # built after the loop from the gram matrix, off this path
                 j = s + jj
                 xcol = packed_ref[0, :, pl.ds(j, 1), :]  # (G, 1, m)
                 alpha = jnp.sum(jnp.where(lane == j, xcol, zero), axis=2, keepdims=True)
@@ -99,30 +101,39 @@ def _mk_group_kernel(ib: int, precision):
                 v = jnp.where(lane == j, one, jnp.where(lane > j, xcol * scale, zero))
                 blk = packed_ref[0, :, s:e, :]  # (G, ibk, m)
                 w = jnp.sum(blk * v, axis=2, keepdims=True)
-                packed_ref[0, :, s:e, :] = blk - jnp.where(sub > jj, tau * w, zero) * v
-                packed_ref[0, :, pl.ds(j, 1), :] = jnp.where(
+                packed_j = jnp.where(
                     lane == j, beta, jnp.where(lane > j, xcol * scale, xcol)
                 )
-                blk_now = packed_ref[0, :, s:e, :]
-                vt_blk = jnp.where(
-                    sub < jj,
-                    jnp.where(lane == gid, one, jnp.where(lane > gid, blk_now, zero)),
-                    zero,
+                packed_ref[0, :, s:e, :] = jnp.where(
+                    sub == jj, packed_j, blk - jnp.where(sub > jj, tau * w, zero) * v
                 )
-                z = jnp.sum(vt_blk * v, axis=2, keepdims=True)  # (G, ibk, 1)
-                y = jnp.sum(t_ref[0, :, s:e, :] * z, axis=1, keepdims=True)  # (G,1,n)
-                t_ref[0, :, pl.ds(j, 1), :] = jnp.where(
-                    lane_t == j,
-                    tau,
-                    jnp.where((lane_t >= s) & (lane_t < j), -tau * y, zero),
-                )
+                t_ref[0, :, pl.ds(j, 1), :] = jnp.where(lane_t == j, tau, zero)
                 return 0
 
             jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
 
             blk_final = packed_ref[0, :, s:e, :]
             vt_b = jnp.where(lane == gid, one, jnp.where(lane > gid, blk_final, zero))
-            tt_bb = t_ref[0, :, s:e, s:e]
+
+            # post-loop batched T build: gram + masked log-doubling
+            # (see kernels/geqrt.py) — T^T per group, lower-triangular
+            gmat = bdot(vt_b, vt_b, (((2,), (2,))))  # (G, ibk, ibk)
+            rows_b = jax.lax.broadcasted_iota(jnp.int32, (1, ibk, ibk), 1)
+            cols_b = jax.lax.broadcasted_iota(jnp.int32, (1, ibk, ibk), 2)
+            taus = jnp.sum(
+                jnp.where(rows_b == cols_b, t_ref[0, :, s:e, s:e], zero),
+                axis=2,
+                keepdims=True,
+            )  # (G, ibk, 1)
+            ttb = jnp.where(rows_b == cols_b, taus, zero)
+            bsz = 1
+            while bsz < ibk:
+                msk = ((cols_b // bsz) % 2 == 0) & (rows_b // bsz == cols_b // bsz + 1)
+                gm = jnp.where(msk, gmat, zero)
+                ttb = ttb - bdot(ttb, bdot(gm, ttb, (((2,), (1,)))), (((2,), (1,))))
+                bsz *= 2
+            t_ref[0, :, s:e, s:e] = ttb
+            tt_bb = ttb
             if e < n:
                 at_rest = packed_ref[0, :, e:, :]
                 w1 = bdot(at_rest, vt_b, (((2,), (2,))))

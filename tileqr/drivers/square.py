@@ -60,7 +60,7 @@ def _segments(k: int, mt: int, c: int) -> Tuple[int, int, int]:
 def qr_tiled(
     a: jnp.ndarray,
     nb: int,
-    ib: int = 32,
+    ib: int = 128,
     chunk: int = 4,
     precision: str = "highest",
     interpret: bool = False,

@@ -68,7 +68,7 @@ def panel_chain(
     base_block: int,
     n_chunks: int,
     block_rows: int,
-    ib: int = 32,
+    ib: int = 128,
     interpret: bool = False,
 ):
     """TSQRT-chain ``n_chunks`` couples of ``block_rows`` rows against the

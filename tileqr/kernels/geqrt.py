@@ -51,7 +51,7 @@ def geqrt_in_refs(
     at_ref,
     tt_ref,
     kcols: int,
-    ib: int = 32,
+    ib: int = 128,
     precision=jax.lax.Precision.HIGHEST,
 ) -> None:
     """Factor the tile held transposed in ``at_ref`` in place.

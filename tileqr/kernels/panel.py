@@ -67,7 +67,7 @@ def _mk_panel_kernel(ib: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "nb", "ib", "n_couples", "interpret"))
 def panel_factor(
-    a, k: int, nb: int, ib: int = 32, n_couples: int | None = None, interpret: bool = False
+    a, k: int, nb: int, ib: int = 128, n_couples: int | None = None, interpret: bool = False
 ):
     """Factor panel column k of A (read-only): GEQRT on tile (k, k) plus the
     TSQRT chain over the next ``n_couples`` sub-diagonal tiles (default: the
