@@ -129,9 +129,11 @@ def tsqr(
         VMEM-budget-sized leaves and arity-8 levels.
       "chain": route through the chunked square driver (one wide panel,
         R carried in VMEM across chunk couples).
-      "auto": tree — it supports factor/apply/form-q without tying up the
-        square driver's packed layout, and measures within noise of the
-        chain at the 1048576×512 config (BASELINE.md).
+      "auto": chain on compiled TPU (115.1 ms vs the tree's 230.5 ms at
+        1048576×512, BASELINE.md — the chain's single carried-R pipeline
+        still wins on one chip; the tree is the cross-chip reduction and
+        the mode="factor"/apply path), tree in interpret mode (keeps the
+        tree covered by the CPU suite).
     """
     cfg = _cfg(config)
     if strategy not in ("auto", "tree", "chain"):

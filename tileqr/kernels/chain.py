@@ -133,11 +133,13 @@ def _couple_strip_kernel_factory(trans: bool, precision, fuse_larfb: bool,
         )
         c_out_ref[:] = bot
         if fuse_larfb and reverse:
-            @pl.when(ii == n_inner - 1)
+            last = pl.num_programs(1) - 1
+
+            @pl.when(ii == last)
             def _():
                 strip_out_ref[:] = larfb_body(vkk_ref[:], tg_ref[:], top, trans, precision)
 
-            @pl.when(ii != n_inner - 1)
+            @pl.when(ii != last)
             def _():
                 strip_out_ref[:] = top
         else:
