@@ -29,6 +29,15 @@ if not os.environ.get("TILEQR_TEST_TPU"):
     # fp64 oracles alongside fp32 paths — CPU only (x64 on TPU breaks
     # tracing: dtype promotion recursion + no native f64)
     jax.config.update("jax_enable_x64", True)
+else:
+    # Real-chip runs reuse the repo's persistent compile cache (the 4096²
+    # static executable takes ~45 min to build through this environment's
+    # remote-compile service; bench.py/__graft_entry__ populate the cache).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -123,3 +123,27 @@ def test_qr_check_utility(rng):
     q, r = tileqr.qr(a, config=CFG)
     m = tileqr.qr_check(a, q, r)
     assert m["relerr"] < 3e-6 and m["orth"] < 1e-4 and m["r_lower"] == 0.0
+
+
+def test_qr_dynamic_driver_matches_static(rng):
+    """QRConfig(driver="dynamic") routes qr/apply_q through the
+    bounded-compile fori_loop driver (drivers/square_dyn.py); same tile
+    algebra, so results agree with the static driver to fp32 reduction
+    tolerance and pass the residual gate."""
+    m, n = 256, 256
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    dyn = QRConfig(nb=64, driver="dynamic")
+    q, r = tileqr.qr(a, config=dyn)
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 3e-6
+    f = tileqr.qr_factor(a, config=dyn)
+    qtb = tileqr.apply_q(f, a, trans=True, config=dyn)
+    r_full = np.triu(np.asarray(tileqr.qr(a, mode="r", config=dyn)))
+    assert relerr(np.asarray(qtb)[:n], r_full) < 3e-6
+
+
+def test_qr_dynamic_driver_rectangular(rng):
+    a = rng.standard_normal((320, 192)).astype(np.float32)
+    dyn = QRConfig(nb=64, driver="dynamic")
+    q, r = tileqr.qr(a, config=dyn)
+    assert q.shape == (320, 192) and r.shape == (192, 192)
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 3e-6

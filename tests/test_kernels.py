@@ -64,6 +64,35 @@ def test_ttqrt_structure(rng):
     assert np.allclose(np.tril(np.asarray(v2), -1), 0)
 
 
+@pytest.mark.parametrize("n", [128, 256])
+def test_ttqrt_matches_tsqrt_bitwise(rng, n):
+    """The lane-windowed TTQRT (kernels/ttqrt.py) must be BITWISE equal to
+    the generic couple kernel on triangular inputs: the window only excludes
+    lanes holding exact zeros, and fp sums over exact zeros are identities —
+    this pins the structure exploitation as a pure cost optimization."""
+    r1 = np.triu(rng.standard_normal((n, n))).astype(np.float32)
+    r2 = np.triu(rng.standard_normal((n, n))).astype(np.float32)
+    ro, v2, t2 = ttqrt(r1, r2)
+    rg, vg, tg = tsqrt(r1, r2)
+    assert (np.asarray(ro) == np.asarray(rg)).all()
+    assert (np.asarray(v2) == np.asarray(vg)).all()
+    assert (np.asarray(t2) == np.asarray(tg)).all()
+
+
+def test_ttmqr_applies_tree_reflectors(rng):
+    """TTMQR round-trip: factor [R1; R2], apply Qᵀ to the stacked couple —
+    top must become R, and Q orthogonality transfers the Frobenius norm."""
+    from tileqr.kernels.ttqrt import ttmqr
+
+    n = 128
+    r1 = np.triu(rng.standard_normal((n, n))).astype(np.float32)
+    r2 = np.triu(rng.standard_normal((n, n))).astype(np.float32)
+    ro, v2, t2 = ttqrt(r1, r2)
+    top, bot = ttmqr(v2, t2, r1, r2, trans=True)
+    assert rel(top, np.asarray(ro)) < TOL
+    assert np.linalg.norm(np.asarray(bot)) < TOL * np.linalg.norm(np.asarray(ro))
+
+
 @pytest.mark.parametrize("trans", [True, False])
 def test_larfb_vs_oracle(rng, trans):
     m, n, p = 128, 128, 128

@@ -21,6 +21,11 @@ from tileqr.core.config import QRConfig
 from tileqr.core.layout import pad_to_tiles, round_up
 from tileqr.drivers.batched import qr_batched as _qr_batched
 from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
+from tileqr.drivers.square_dyn import (
+    DynFactors,
+    apply_q_tiled_dyn,
+    qr_tiled_dyn,
+)
 from tileqr.drivers.tsqr import (
     TSQRFactors,
     auto_leaf_rows,
@@ -32,7 +37,11 @@ from tileqr.kernels.common import resolve_interpret
 
 
 class QRFactors(NamedTuple):
-    """Packed tiled-QR factors (layout: ref/blocked_qr.py docstring)."""
+    """Packed tiled-QR factors (layout: ref/blocked_qr.py docstring).
+
+    ``panels`` holds the per-panel reflector tuple for the static driver, or
+    a ``DynFactors`` flat-buffer record when the factorization ran through
+    the bounded-compile dynamic driver (QRConfig.driver="dynamic")."""
 
     packed: jnp.ndarray
     r_diag: jnp.ndarray
@@ -53,6 +62,12 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     a = jnp.asarray(a, dtype=cfg.dtype)
     m, n = a.shape
     ap, _ = pad_to_tiles(a, cfg.nb)
+    if cfg.driver == "dynamic":
+        a_out, df = qr_tiled_dyn(
+            ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        return QRFactors(a_out, df.r_diag, df.t_geqrt, df, cfg.nb, df.chunk, (m, n))
     packed, r_diag, t_g, panels = qr_tiled(
         ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
         interpret=resolve_interpret(cfg.interpret),
@@ -72,11 +87,17 @@ def apply_q(
         raise ValueError(f"c rows {mc} != M {f.shape[0]}")
     pp = round_up(max(p, 1), f.nb)
     cp = jnp.pad(c, ((0, mp - mc), (0, pp - p)))
-    out = apply_q_tiled(
-        f.panels, f.t_geqrt, cp, f.nb, chunk=f.chunk,
-        trans=trans, precision=cfg.precision,
-        interpret=resolve_interpret(cfg.interpret),
-    )
+    if isinstance(f.panels, DynFactors):
+        out = apply_q_tiled_dyn(
+            f.panels, cp, trans=trans, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+    else:
+        out = apply_q_tiled(
+            f.panels, f.t_geqrt, cp, f.nb, chunk=f.chunk,
+            trans=trans, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
     return out[:mc, :p]
 
 

@@ -67,8 +67,8 @@ def bench_square(n, nb, ib, precision, chain, check, chunk=4):
     t = per_iter(make, a, chain)
     rec = {
         "bench": "qr_square", "n": n, "nb": nb, "ib": ib, "chunk": chunk,
-        "precision": precision, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(n, n) / t / 1e12, 6),
+        "precision": precision, "ms": round(t * 1e3, 6),
+        "tflops": round(qr_flops(n, n) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
     if check:
@@ -99,8 +99,8 @@ def bench_jnp_qr(n, chain):
 
     t = per_iter(make, a, chain)
     return {
-        "bench": "jnp_linalg_qr", "n": n, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(n, n) / t / 1e12, 6),
+        "bench": "jnp_linalg_qr", "n": n, "ms": round(t * 1e3, 6),
+        "tflops": round(qr_flops(n, n) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
 
@@ -124,8 +124,8 @@ def bench_tsqr(m, cols, nb, chain):
 
     t = per_iter(make, a, chain)
     return {
-        "bench": "tsqr", "m": m, "n": cols, "nb": nb, "ms": round(t * 1e3, 3),
-        "tflops": round(qr_flops(m, cols) / t / 1e12, 6),
+        "bench": "tsqr", "m": m, "n": cols, "nb": nb, "ms": round(t * 1e3, 6),
+        "tflops": round(qr_flops(m, cols) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
 
@@ -153,8 +153,8 @@ def bench_batched(batch, cols, chain, check=False):
     t = per_iter(make, a, chain)
     rec = {
         "bench": "qr_batched", "kernel": "grouped", "batch": batch, "n": cols,
-        "ms": round(t * 1e3, 3),
-        "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 6),
+        "ms": round(t * 1e3, 6),
+        "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
     if check:

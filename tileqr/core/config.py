@@ -41,6 +41,15 @@ class QRConfig:
         column-loop count by ~chunk x. The driver reduces it to the largest
         divisor of the row-tile count.
       mesh_shape: (rows, cols) for the sharded driver.
+      driver: square-path driver selection. "static" (default) trace-unrolls
+        the panel loop — fastest steady-state, but first-compile cost grows
+        with the panel count (~45 min at 16384² through this environment's
+        remote-compile service). "dynamic" runs an O(1)-kernel
+        ``lax.fori_loop`` driver (drivers/square_dyn.py — Mosaic dynamic
+        grids + scalar-prefetch index maps): compiles in seconds at any
+        size for ~20% steady-state cost (measured 9.31 vs 7.79 ms at 4096²)
+        — the bounded-compile path for 32768²-scale panel counts
+        (SURVEY.md §7.2 item 3).
 
     Elimination-tree selection is implicit per path (matching the reference,
     SURVEY.md §2.3): the square driver uses the flat chain (chunked), the
@@ -55,6 +64,7 @@ class QRConfig:
     precision: str = "highest"
     interpret: Optional[bool] = None
     mesh_shape: Tuple[int, int] = (4, 2)
+    driver: str = "static"
 
     def __post_init__(self):
         if self.nb % 8 != 0:
@@ -63,6 +73,8 @@ class QRConfig:
             object.__setattr__(self, "ib", self.nb)
         if self.nb % self.ib != 0:
             raise ValueError(f"ib={self.ib} must divide nb={self.nb}")
+        if self.driver not in ("static", "dynamic"):
+            raise ValueError(f"driver={self.driver!r} must be static|dynamic")
 
     def replace(self, **kw) -> "QRConfig":
         return dataclasses.replace(self, **kw)

@@ -49,7 +49,7 @@ from tileqr.core.layout import round_up
 from tileqr.kernels.common import resolve_interpret, resolve_precision, triu
 from tileqr.kernels.panel import panel_factor
 from tileqr.kernels.ssrfb import ssrfb_body
-from tileqr.kernels.tsqrt import _tsqrt_call
+from tileqr.kernels.ttqrt import _ttqrt_call
 from tileqr.kernels.update import couple_apply
 
 
@@ -173,7 +173,10 @@ def qr_sharded_factor(
             tree = []
             for down, up, d in levels:
                 recv = jax.lax.ppermute(rcur, "rows", down)
-                rnew, v2l, t2l = _tsqrt_call(rcur, recv, interpret)
+                # both operands are upper-triangular → the lane-windowed
+                # structure-exploiting TTQRT (kernels/ttqrt.py), bitwise-equal
+                # to the generic couple
+                rnew, v2l, t2l = _ttqrt_call(rcur, recv, interpret)
                 is_root_side = (t_rot % (2 * d) == 0) & (t_rot + d < pr)
                 rcur = jnp.where(is_root_side, triu(rnew), rcur)
                 tree.append((v2l, t2l))

@@ -140,8 +140,8 @@ def tall_geqrt(a, leaf_rows: int, ib: int = 128, interpret: bool = False):
         pltpu.VMEM((n, n), dt),
     ]
     if staged:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        packed_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        packed_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch += [pltpu.VMEM((stage_rows, n), dt), pltpu.SemaphoreType.DMA]
     else:
         in_specs = [

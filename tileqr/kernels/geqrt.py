@@ -53,6 +53,7 @@ def geqrt_in_refs(
     kcols: int,
     ib: int = 128,
     precision=jax.lax.Precision.HIGHEST,
+    lane_extent=None,
 ) -> None:
     """Factor the tile held transposed in ``at_ref`` in place.
 
@@ -66,12 +67,20 @@ def geqrt_in_refs(
       is composed per block (T12 = -T1 (V1ᵀV2) T2, LAPACK xLARFT block
       composition) — this moves ~(nb-ib)/nb of the panel flops from VPU
       traversals onto the MXU.
+    lane_extent: optional static callback ``e -> W`` giving the active lane
+      window (number of leading rows of A that can be non-zero once the block
+      ending at column ``e`` is reached; must be 128-aligned or m). All VPU
+      and MXU traffic for a block is confined to lanes [0, W) — the
+      structure-exploitation hook for TTQRT (kernels/ttqrt.py), where the
+      stacked couple's triangular zero pattern bounds reflector support.
+      Exact: excluded lanes hold exact zeros, and fp sums over exact zeros
+      are identities, so the result is bitwise-identical to the full-width
+      traversal. Default: full width.
     """
     n, m = at_ref.shape
     dt = at_ref.dtype
     one = jnp.ones((), dt)
     zero = jnp.zeros((), dt)
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)  # row ids of A
 
     def contract_lanes(a, b):
         out = jax.lax.dot_general(
@@ -80,23 +89,28 @@ def geqrt_in_refs(
         )
         return out.astype(dt)
 
-    def recon_vt(rows_slice, row0: int, nrows: int):
-        """Reconstruct Vᵀ rows [row0, row0+nrows) from packed at rows."""
-        gid = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
-        return jnp.where(
-            lane_r == gid, one, jnp.where(lane_r > gid, rows_slice, zero)
-        )
-
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     for s in range(0, kcols, ib):
         ibk = min(ib, kcols - s)  # static per block
+        w_ext = m if lane_extent is None else min(m, lane_extent(s + ibk))
+        if w_ext != m and (w_ext % 128 or w_ext <= 0):
+            w_ext = m
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, w_ext), 1)  # row ids
+
+        def recon_vt(rows_slice, row0: int, nrows: int):
+            """Reconstruct Vᵀ rows [row0, row0+nrows) from packed at rows."""
+            gid = row0 + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+            return jnp.where(
+                lane_r == gid, one, jnp.where(lane_r > gid, rows_slice, zero)
+            )
+
         sub_b = jax.lax.broadcasted_iota(jnp.int32, (ibk, 1), 0)
         gid_b = s + sub_b
 
-        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b):
+        def col_step(jj, _, s=s, ibk=ibk, sub_b=sub_b, w_ext=w_ext, lane_r=lane_r):
             j = s + jj
-            xrow = at_ref[pl.ds(j, 1), :]  # (1, m): column j of A
+            xrow = at_ref[pl.ds(j, 1), :w_ext]  # (1, W): column j of A
             # keep the Householder scalars as (1, 1) vregs — a scalar-register
             # round trip per value would serialize the (already latency-bound)
             # column loop on vector→SREG transfers
@@ -118,12 +132,12 @@ def geqrt_in_refs(
             # store keeps the serial critical path (load → reduce → sqrt/div →
             # w-reduce → store) as short as possible; T is built AFTER the
             # loop from the gram matrix, off this path entirely.
-            blk = at_ref[s : s + ibk, :]
+            blk = at_ref[s : s + ibk, :w_ext]
             w = jnp.sum(blk * v, axis=1, keepdims=True)  # (ibk, 1)
             packed_j = jnp.where(
                 lane_r == j, beta, jnp.where(lane_r > j, xrow * scale, xrow)
             )
-            at_ref[s : s + ibk, :] = jnp.where(
+            at_ref[s : s + ibk, :w_ext] = jnp.where(
                 sub_b == jj,
                 packed_j,
                 blk - jnp.where(sub_b > jj, tau * w, zero) * v,
@@ -135,7 +149,7 @@ def geqrt_in_refs(
 
         jax.lax.fori_loop(0, ibk, col_step, 0, unroll=False)
 
-        vt_b = recon_vt(at_ref[s : s + ibk, :], s, ibk)  # (ibk, m) = V_bᵀ
+        vt_b = recon_vt(at_ref[s : s + ibk, :w_ext], s, ibk)  # (ibk, W) = V_bᵀ
 
         # post-loop block T build (LAPACK xLARFT, but latency-free): with
         # G = V_bᵀV_b (one MXU gram) and T₀ = diag(τ), the doubling recurrence
@@ -174,16 +188,16 @@ def geqrt_in_refs(
 
         # MXU block apply to all remaining columns: A_rest ← A_rest − V_b T_bᵀ V_bᵀ A_rest
         if s + ibk < n:
-            at_rest = at_ref[s + ibk :, :]  # (n_rest, m) = A[:, rest]ᵀ
+            at_rest = at_ref[s + ibk :, :w_ext]  # (n_rest, W) = A[:, rest]ᵀ
             w1 = contract_lanes(at_rest, vt_b)  # (n_rest, ibk) = (V_bᵀ A_rest)ᵀ
             w2 = contract_lanes(w1, tt_bb)  # = (T_bᵀ V_bᵀ A_rest)ᵀ
-            at_ref[s + ibk :, :] = at_rest - jnp.dot(
+            at_ref[s + ibk :, :w_ext] = at_rest - jnp.dot(
                 w2, vt_b, precision=precision, preferred_element_type=jnp.float32
             ).astype(dt)
 
         # off-diagonal T: T[0:s, s:s+ibk] = −T1 (V1ᵀ V_b) T_b, stored transposed
         if s > 0:
-            vt_prev = recon_vt(at_ref[0:s, :], 0, s)
+            vt_prev = recon_vt(at_ref[0:s, :w_ext], 0, s)
             zt = contract_lanes(vt_b, vt_prev)  # (ibk, s) = V_bᵀ V1
             m2 = jnp.dot(
                 zt, tt_ref[0:s, 0:s], precision=precision,

@@ -60,6 +60,3 @@ def _ssrfb_call(v2, t2, c_top, c_bot, trans: bool, precision: str, interpret: bo
 def ssrfb(v2, t2, c_top, c_bot, trans=True, precision="highest", interpret=None):
     """Standalone SSRFB on one couple: V2 (m,n), T2 (n,n), C_top (n,p), C_bot (m,p)."""
     return _ssrfb_call(v2, t2, c_top, c_bot, trans, precision, resolve_interpret(interpret))
-
-
-ttmqr = ssrfb  # C5 apply side: same body, triangular V2
