@@ -83,6 +83,22 @@ def test_sharded_1x1_mesh_compiles(rng):
     assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 1e-6
 
 
+def test_dynamic_driver_on_tpu(rng):
+    """The bounded-compile dynamic driver (drivers/square_dyn.py) on real
+    Mosaic: dynamic grids + scalar-prefetch index maps lower and execute,
+    and the residual gate holds. Compile cost is seconds (the point of the
+    path), so this test is cheap even uncached."""
+    import tileqr
+    from tileqr import QRConfig
+
+    a = rng.standard_normal((1024, 1024)).astype(np.float32)
+    q, r = tileqr.qr(a, config=QRConfig(nb=256, driver="dynamic"))
+    q64 = np.asarray(q, np.float64)
+    r64 = np.asarray(r, np.float64)
+    assert np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a) < 1e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(1024)) < 1e-4
+
+
 def test_chunk1_compiled_vs_interpret_tiles(rng):
     """Pins the honest scope of the determinism claim (VERDICT r1 weak-#7,
     DESIGN.md §6): chunk=1 reproduces the reference's flat-tree tile algebra,
