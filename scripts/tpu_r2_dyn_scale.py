@@ -23,10 +23,23 @@ def sync(r):
     _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[0])
 
 
+import functools  # noqa: E402
+
+from tileqr.drivers.square_dyn import DynFactors  # noqa: E402
+from tileqr.drivers.square import _chunk_for  # noqa: E402
+
+# donating wrapper: at 32768^2 the carry buffers alone are ~11.5 GiB; holding
+# the 4 GiB input alongside exceeds HBM, so the factor consumes its input
+@functools.partial(jax.jit, donate_argnums=0)
+def _factor_donating(a):
+    return _qr_tiled_dyn_jit(a, 256, 128, 4, "highest", False)
+
 for N in [int(x) for x in sys.argv[1:]] or [8192, 16384, 32768]:
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
+    a_host = rng.standard_normal((N, N)).astype(np.float32)
+    c_host = a_host[:, :512].copy()
     t0 = time.perf_counter()
+    a = jnp.asarray(a_host)
     low = _qr_tiled_dyn_jit.lower(a, 256, 128, 4, "highest", False)
     t1 = time.perf_counter()
     low.compile()
@@ -35,24 +48,35 @@ for N in [int(x) for x in sys.argv[1:]] or [8192, 16384, 32768]:
           f"compile {t2-t1:.1f} s", flush=True)
 
     best = 1e30
-    for _ in range(3):
+    out = None
+    for _ in range(2):
+        if out is not None:
+            del out
+        a = jnp.asarray(a_host)
+        sync(a)
         tt0 = time.perf_counter()
-        a_out, f = qr_tiled_dyn(a, 256, ib=128, chunk=4)
-        sync(a_out)
+        out = _factor_donating(a)
+        sync(out[0])
         best = min(best, time.perf_counter() - tt0)
+    a_out = out[0]
+    c = _chunk_for(N // 256, 4)
+    f = DynFactors(*out[1:], nb=256, chunk=c, shape=(N, N))
     print(f"dyn {N}^2 runtime (single-dispatch): {best*1e3:.1f} ms  "
           f"{flops(N)/best/1e12:.2f} TFLOP/s", flush=True)
 
-    # residual on a 512-column slice (diag tiles 0..1 fixed from r_diag)
+    # residual on a 512-column slice (diag tiles 0..1 fixed from r_diag);
+    # build R's slice WITHOUT materializing a full triu(a_out) copy
     nb, w = 256, 512
-    c_slice = a[:, :w]
-    qta = apply_q_tiled_dyn(f, c_slice, trans=True)
-    r_cols = jnp.triu(a_out)[:, :w]
-    rt = r_cols.reshape(N // nb, nb, w // nb, nb)
-    idx = jnp.arange(w // nb)
-    rt = rt.at[idx, :, idx, :].set(jax.vmap(jnp.triu)(f.r_diag[: w // nb]))
-    r_cols = rt.reshape(N, w)
-    num = np.linalg.norm(np.asarray(qta, np.float64) - np.asarray(r_cols, np.float64))
-    den = np.linalg.norm(np.asarray(c_slice, np.float64))
+    c_slice = jnp.asarray(c_host)
+    qta_h = np.asarray(apply_q_tiled_dyn(f, c_slice, trans=True), np.float64)
+    s_h = np.asarray(a_out[:, :w], np.float64)
+    r_diag_h = np.asarray(f.r_diag[: w // nb], np.float64)
+    rows = np.arange(N)[:, None]
+    cols = np.arange(w)[None, :]
+    r_cols = np.where(rows <= cols, s_h, 0.0)
+    for tb in range(w // nb):
+        r_cols[tb * nb : (tb + 1) * nb, tb * nb : (tb + 1) * nb] = np.triu(r_diag_h[tb])
+    num = np.linalg.norm(qta_h - r_cols)
+    den = np.linalg.norm(c_host.astype(np.float64))
     print(f"dyn {N}^2 |QtA-R|/|A| (512-col slice) = {num/den:.2e}", flush=True)
-    del a, a_out, f, qta, r_cols, rt, c_slice
+    del a_out, f, out, c_slice

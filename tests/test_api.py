@@ -147,3 +147,28 @@ def test_qr_dynamic_driver_rectangular(rng):
     q, r = tileqr.qr(a, config=dyn)
     assert q.shape == (320, 192) and r.shape == (192, 192)
     assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 3e-6
+
+
+@pytest.mark.parametrize(
+    "mk",
+    [
+        lambda rng: np.zeros((128, 128), np.float32),
+        lambda rng: np.eye(128, dtype=np.float32),
+        lambda rng: np.concatenate(
+            [x := rng.standard_normal((128, 64)).astype(np.float32), x], axis=1
+        ),
+        lambda rng: rng.standard_normal((128, 1)).astype(np.float32),
+    ],
+    ids=["zero", "identity", "rank-deficient", "one-column"],
+)
+def test_qr_degenerate_inputs(rng, mk):
+    """Degenerate inputs stay finite and satisfy A = QR with orthogonal Q
+    (zero columns produce tau=0 identity reflectors, not NaNs)."""
+    a = mk(rng)
+    q, r = tileqr.qr(a, config=CFG)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.isfinite(q64).all() and np.isfinite(r64).all()
+    den = max(np.linalg.norm(a), 1.0)
+    assert np.linalg.norm(q64 @ r64 - a) / den < 3e-6
+    k = q64.shape[1]
+    assert np.linalg.norm(q64.T @ q64 - np.eye(k)) < 1e-4
