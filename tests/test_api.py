@@ -172,3 +172,35 @@ def test_qr_degenerate_inputs(rng, mk):
     assert np.linalg.norm(q64 @ r64 - a) / den < 3e-6
     k = q64.shape[1]
     assert np.linalg.norm(q64.T @ q64 - np.eye(k)) < 1e-4
+
+
+def test_prescale_extreme_magnitudes(rng):
+    """QRConfig(prescale=True) lifts the fp32 input-magnitude limit
+    (kernels/geqrt.py): entries ~1e20 overflow the unscaled column norm to
+    inf, while the power-of-2 prescale path stays finite and accurate."""
+    a = (rng.standard_normal((128, 96)) * 1e20).astype(np.float32)
+    cfg_ps = QRConfig(nb=64, prescale=True)
+    q, r = tileqr.qr(a, config=cfg_ps)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.isfinite(q64).all() and np.isfinite(r64).all()
+    assert relerr(q64 @ r64, a) < 3e-6
+    # without prescale the same input overflows (documents the limit)
+    q2, _ = tileqr.qr(a, config=QRConfig(nb=64))
+    assert not np.isfinite(np.asarray(q2)).all()
+    # lstsq through the prescale path
+    x = tileqr.lstsq(a, a @ np.ones(96, np.float32), config=cfg_ps)
+    assert np.allclose(np.asarray(x), 1.0, atol=1e-3)
+
+
+def test_prescale_identity_on_moderate_data(rng):
+    """Power-of-2 prescaling is exact: factors match the unscaled path
+    bitwise on data that does not overflow (reflectors are scale-invariant
+    and the division is lossless)."""
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    f0 = tileqr.qr_factor(a, config=QRConfig(nb=64))
+    f1 = tileqr.qr_factor(a, config=QRConfig(nb=64, prescale=True))
+    s = float(np.asarray(f1.scale))
+    assert s == 2.0 ** np.round(np.log2(s))
+    r0 = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=64)))
+    r1 = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=64, prescale=True)))
+    assert (r0 == r1).all()

@@ -50,6 +50,10 @@ class QRFactors(NamedTuple):
     nb: int
     chunk: int
     shape: Tuple[int, int]  # original (M, N) before padding
+    # QRConfig.prescale: A was factored as (A/scale) = Q·R_stored, so
+    # R_true = scale · R_stored; Q and the packed reflectors are
+    # scale-invariant. 1.0 (python float) when prescaling is off.
+    scale: object = 1.0
 
 
 def _cfg(config: Optional[QRConfig]) -> QRConfig:
@@ -61,18 +65,28 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     cfg = _cfg(config)
     a = jnp.asarray(a, dtype=cfg.dtype)
     m, n = a.shape
+    scale = 1.0
+    if cfg.prescale:
+        # exact power-of-2 scaling: QR(A/s) has identical reflectors/τ and
+        # R_true = s · R_stored, with no rounding introduced by the division
+        amax = jnp.max(jnp.abs(a))
+        s = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(amax, jnp.asarray(1e-30, a.dtype)))))
+        scale = jnp.where(amax > 0, s, jnp.ones((), a.dtype))
+        a = a * (1.0 / scale)
     ap, _ = pad_to_tiles(a, cfg.nb)
     if cfg.driver == "dynamic":
         a_out, df = qr_tiled_dyn(
             ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
             interpret=resolve_interpret(cfg.interpret),
         )
-        return QRFactors(a_out, df.r_diag, df.t_geqrt, df, cfg.nb, df.chunk, (m, n))
+        return QRFactors(
+            a_out, df.r_diag, df.t_geqrt, df, cfg.nb, df.chunk, (m, n), scale
+        )
     packed, r_diag, t_g, panels = qr_tiled(
         ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
         interpret=resolve_interpret(cfg.interpret),
     )
-    return QRFactors(packed, r_diag, t_g, panels, cfg.nb, cfg.chunk, (m, n))
+    return QRFactors(packed, r_diag, t_g, panels, cfg.nb, cfg.chunk, (m, n), scale)
 
 
 def apply_q(
@@ -120,7 +134,7 @@ def qr(
     f = qr_factor(a, cfg)
     m, n = f.shape
     k = min(m, n)
-    r_full = assemble_r(f.packed, f.r_diag, f.nb)
+    r_full = assemble_r(f.packed, f.r_diag, f.nb) * f.scale
     if mode == "r":
         return r_full[:k, :n]
     if mode == "reduced":
@@ -220,6 +234,6 @@ def lstsq(a: jnp.ndarray, b: jnp.ndarray, config: Optional[QRConfig] = None):
         raise ValueError("lstsq requires M >= N")
     f = qr_factor(a, cfg)
     qtb = apply_q(f, bmat, trans=True, config=cfg)[:n]
-    r = assemble_r(f.packed, f.r_diag, f.nb)[:n, :n]
+    r = assemble_r(f.packed, f.r_diag, f.nb)[:n, :n] * f.scale
     x = jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
     return x[:, 0] if vec else x

@@ -50,6 +50,13 @@ class QRConfig:
         size for ~20% steady-state cost (measured 9.31 vs 7.79 ms at 4096²)
         — the bounded-compile path for 32768²-scale panel counts
         (SURVEY.md §7.2 item 3).
+      prescale: divide A by an exact power-of-2 ≥ max|A| before factoring
+        and fold the scale back into R. Lifts the documented fp32
+        input-magnitude limit (kernels/geqrt.py: column norms overflow for
+        entries ≳1e19) at the cost of one extra pass over A. Exact: QR
+        commutes with scalar scaling, power-of-2 division is lossless, and
+        the Householder reflectors are scale-invariant. Default off to keep
+        the hot path traffic-free.
 
     Elimination-tree selection is implicit per path (matching the reference,
     SURVEY.md §2.3): the square driver uses the flat chain (chunked), the
@@ -65,6 +72,7 @@ class QRConfig:
     interpret: Optional[bool] = None
     mesh_shape: Tuple[int, int] = (4, 2)
     driver: str = "static"
+    prescale: bool = False
 
     def __post_init__(self):
         if self.nb % 8 != 0:

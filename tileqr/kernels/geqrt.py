@@ -31,8 +31,10 @@ the working dtype with NO xLARFG-style rescaling — fp32 columns whose entries
 exceed ~1e19 in magnitude (norm² > fp32 max ≈ 3.4e38) overflow to inf.
 Rescaling would put a max-abs reduction + multiply on the latency-bound
 serial column path to guard a regime ~1e16× beyond the benchmark data range;
-callers with extreme-scale data should pre-scale the matrix (QR commutes with
-scalar scaling: QR(cA) = (Q, cR)).
+callers with extreme-scale data should use ``QRConfig(prescale=True)``
+(api.py: one exact power-of-2 matrix prescale outside the kernels, factors
+bitwise-identical on non-overflowing data) or pre-scale manually (QR commutes
+with scalar scaling: QR(cA) = (Q, cR)).
 """
 
 from __future__ import annotations
