@@ -204,3 +204,17 @@ def test_prescale_identity_on_moderate_data(rng):
     r0 = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=64)))
     r1 = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=64, prescale=True)))
     assert (r0 == r1).all()
+
+
+def test_prescale_near_fp32_max(rng):
+    """Review r2: amax > 2^127 must not overflow the scale computation
+    (exp2(128) = inf) nor flush the reciprocal to a subnormal zero. The
+    input keeps column norms below fp32 max so the true R is representable
+    — beyond that no fp32 R exists for ANY algorithm."""
+    n = 64
+    a = (np.eye(n, dtype=np.float64) * 2.5e38
+         + rng.standard_normal((n, n)) * 1e30).astype(np.float32)
+    q, r = tileqr.qr(a, config=QRConfig(nb=64, prescale=True))
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.isfinite(q64).all() and np.isfinite(r64).all()
+    assert relerr(q64 @ r64, a) < 3e-6

@@ -25,7 +25,7 @@ def test_bench_tsqr():
 
 def test_bench_batched_check():
     rec = bench_batched(8, 32, chain=2, check=True)
-    assert rec["kernel"] == "grouped"
+    assert rec["kernel"].startswith("grouped")
     assert rec["ms"] > 0
     assert rec["relerr_max"] < 1e-5
 

@@ -29,3 +29,15 @@ def test_block_cyclic_roundtrip(rng):
 def test_owner_and_counts():
     assert layout.block_cyclic_owner(5, 3, 4, 2) == (1, 1)
     assert layout.local_tile_counts(10, 6, 4, 2, 1, 0) == (3, 3)
+
+
+def test_qrconfig_ib_clamps_to_nb_divisor():
+    """Review r2: the ib=128 default must not invalidate nb values that
+    were legal under ib=32 — ib auto-clamps to the largest divisor of nb."""
+    from tileqr.core.config import QRConfig
+
+    assert QRConfig(nb=160).ib == 80
+    assert QRConfig(nb=192).ib == 96
+    assert QRConfig(nb=320).ib == 80
+    assert QRConfig(nb=256).ib == 128
+    assert QRConfig(nb=64).ib == 64

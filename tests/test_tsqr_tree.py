@@ -86,3 +86,31 @@ def test_auto_leaf_rows_bounds():
     lr = auto_leaf_rows(1024, 64)
     assert lr == 1024  # capped by m
     assert auto_leaf_rows(10**7, 8) % 8 == 0
+
+
+def test_auto_leaf_rows_floors_at_2n():
+    """Review r2: the tree precondition leaf_rows >= 2n must hold for any n
+    (n > 1024 previously raised); staged-friendly alignment preserved."""
+    from tileqr.drivers.tsqr import auto_leaf_rows
+
+    lr = auto_leaf_rows(4608, 1536)
+    assert lr >= 2 * 1536 and lr % 8 == 0
+    lr = auto_leaf_rows(10**6, 192)
+    assert lr % 128 == 0
+
+
+def test_large_n_tree_path(rng):
+    """tsqr factor mode on n=1536 > 1024 (interpret): 2n leaves + tree."""
+    import jax.numpy as jnp
+
+    from tileqr.drivers.tsqr import auto_leaf_rows, tsqr_factor
+
+    n = 1536
+    lr = auto_leaf_rows(4 * n, n)
+    a = rng.standard_normal((2 * lr, n)).astype(np.float32)
+    f = tsqr_factor(jnp.asarray(a), nb=n, leaf_rows=lr)
+    rn = np.linalg.qr(a, mode="r")
+    r = np.asarray(f.r)
+    s = np.sign(np.diag(rn)) * np.sign(np.diag(r))
+    s[s == 0] = 1
+    assert np.linalg.norm(r * s[:, None] - rn) / np.linalg.norm(rn) < 5e-5

@@ -70,9 +70,14 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # exact power-of-2 scaling: QR(A/s) has identical reflectors/τ and
         # R_true = s · R_stored, with no rounding introduced by the division
         amax = jnp.max(jnp.abs(a))
-        s = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(amax, jnp.asarray(1e-30, a.dtype)))))
+        e = jnp.ceil(jnp.log2(jnp.maximum(amax, jnp.asarray(1e-30, a.dtype))))
+        # clamp: exp2(128) overflows fp32; amax/2^127 <= 2 never overflows
+        # the downstream column norms
+        s = jnp.exp2(jnp.minimum(e, 127.0))
         scale = jnp.where(amax > 0, s, jnp.ones((), a.dtype))
-        a = a * (1.0 / scale)
+        # true division, NOT multiply-by-reciprocal: 1/2^127 is subnormal
+        # and XLA flushes it to zero (caught by test_prescale_near_fp32_max)
+        a = a / scale
     ap, _ = pad_to_tiles(a, cfg.nb)
     if cfg.driver == "dynamic":
         a_out, df = qr_tiled_dyn(

@@ -150,9 +150,16 @@ def bench_batched(batch, cols, chain, check=False):
 
         return f
 
+    # mirror qr_batched's group selection so the record names the kernel
+    # that actually ran (vec fallback when no power-of-2 group divides B)
+    group = 16
+    while group > 1 and batch % group:
+        group //= 2
     t = per_iter(make, a, chain)
     rec = {
-        "bench": "qr_batched", "kernel": "grouped", "batch": batch, "n": cols,
+        "bench": "qr_batched",
+        "kernel": f"grouped(g={group})" if group > 1 else "vec",
+        "batch": batch, "n": cols,
         "ms": round(t * 1e3, 6),
         "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 9),
         "backend": jax.default_backend(),

@@ -23,8 +23,8 @@ class QRConfig:
         acceptance-config value (BASELINE.json:8).
       ib: inner blocking inside the panel kernels: ``ib`` Householder columns
         are produced with VPU rank-1 updates, then the rest of the tile is
-        updated with one MXU block-apply. Must divide nb (clamped to nb when
-        nb < ib). Default 128: with the post-loop T build the per-block
+        updated with one MXU block-apply. Auto-clamped to the largest
+        divisor of nb not exceeding it. Default 128: with the post-loop T build the per-block
         boundary costs (MXU apply + T compose dispatches) dominate over the
         in-loop rank-1 width, so fewer/wider blocks win (measured 7.79 ms vs
         9.46 ms at 4096², ib=128 vs 64).
@@ -80,7 +80,13 @@ class QRConfig:
         if self.ib > self.nb:
             object.__setattr__(self, "ib", self.nb)
         if self.nb % self.ib != 0:
-            raise ValueError(f"ib={self.ib} must divide nb={self.nb}")
+            # ib is a pure performance knob: clamp to the largest divisor of
+            # nb not exceeding it (the ib=128 default must not invalidate
+            # nb values like 160/192/320 that were legal under ib=32)
+            ib = self.ib
+            while self.nb % ib:
+                ib -= 1
+            object.__setattr__(self, "ib", ib)
         if self.driver not in ("static", "dynamic"):
             raise ValueError(f"driver={self.driver!r} must be static|dynamic")
 

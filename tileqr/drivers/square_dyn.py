@@ -183,7 +183,7 @@ def _couple_strip_dyn(v_src, t2_src, c_mat, strip, sl_off, blk_off, n_inner,
     mc, p = c_mat.shape
     _nb, w = strip.shape
     dt = c_mat.dtype
-    inner = _couple_strip_kernel_factory(trans, precision, False, reverse, 0)
+    inner = _couple_strip_kernel_factory(trans, precision, False, reverse)
 
     def kernel(s, v2_ref, t2_ref, strip_in, cbot_ref, c_out, strip_out):
         inner(v2_ref, t2_ref, strip_in, cbot_ref, c_out, strip_out)

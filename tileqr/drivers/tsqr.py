@@ -72,9 +72,18 @@ _UNSTAGED_LEAF_BYTES = 1 * 1024 * 1024
 
 
 def auto_leaf_rows(m: int, n: int) -> int:
-    """Largest leaf that keeps the (n, leaf_rows) scratch within budget."""
-    target = max(n, _SCRATCH_BYTES // (n * 4))
-    target -= target % 8
+    """Largest leaf that keeps the (n, leaf_rows) scratch within budget.
+
+    Floored at 2n so the tree precondition (leaf >= two stacked R factors)
+    holds for any n — for n > ~1024 the resulting scratch exceeds the 16 MB
+    Mosaic VMEM scope and the tree only runs in interpret mode (on compiled
+    TPU, strategy "auto" routes such shapes through the chain). 128-aligned
+    when possible so the staged kernel's lane slices stay register-tiled."""
+    target = max(2 * n, _SCRATCH_BYTES // (n * 4))
+    target -= target % 128 if target >= 128 else target % 8
+    target = max(target, 2 * n)
+    if target % 8:
+        target += 8 - target % 8
     return max(8, min(m, target))
 
 
@@ -126,13 +135,24 @@ def tall_geqrt(a, leaf_rows: int, ib: int = 128, interpret: bool = False):
     m, n = a.shape
     p = m // leaf_rows
     dt = a.dtype
+    if leaf_rows % 8:
+        raise ValueError(f"leaf_rows={leaf_rows} must be a multiple of 8")
     staged = leaf_rows * n * 4 > _UNSTAGED_LEAF_BYTES
-    # stage buffer: leaf_rows/4 rows (>= 8), must divide leaf_rows
+    # stage buffer: a divisor of leaf_rows, preferring quarter/half leaves
+    # that keep lane slice offsets (h·stage_rows) 128-aligned; fall back to
+    # the whole leaf (single DMA) rather than risk unaligned slices or a
+    # non-terminating search for awkward leaf_rows
     stage_rows = leaf_rows
     if staged:
-        stage_rows = max(8, leaf_rows // 4)
-        while leaf_rows % stage_rows:
-            stage_rows -= 8
+        for cand in (leaf_rows // 4, leaf_rows // 2):
+            if cand >= 8 and leaf_rows % cand == 0 and cand % 128 == 0:
+                stage_rows = cand
+                break
+        else:
+            for cand in (leaf_rows // 4, leaf_rows // 2):
+                if cand >= 8 and leaf_rows % cand == 0 and cand % 8 == 0:
+                    stage_rows = cand
+                    break
 
     kernel = _mk_tall_kernel(ib, n, leaf_rows, stage_rows, staged)
     scratch = [

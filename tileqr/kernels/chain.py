@@ -108,7 +108,7 @@ def panel_chain(
 
 
 def _couple_strip_kernel_factory(trans: bool, precision, fuse_larfb: bool,
-                                 reverse: bool, n_inner: int):
+                                 reverse: bool):
     """fuse_larfb: also apply the diagonal-tile GEQRT block reflector to the
     resident strip — at the first inner step (forward/factor order: LARFB
     precedes the couples) or the last (reverse/Q-apply order: LARFB follows) —
@@ -197,7 +197,7 @@ def couple_strip(
 
     fuse_larfb = vkk is not None
     kernel = _couple_strip_kernel_factory(
-        trans, resolve_precision(precision), fuse_larfb, reverse, n_chunks
+        trans, resolve_precision(precision), fuse_larfb, reverse
     )
     larfb_specs = (
         [
