@@ -218,3 +218,22 @@ def test_prescale_near_fp32_max(rng):
     q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
     assert np.isfinite(q64).all() and np.isfinite(r64).all()
     assert relerr(q64 @ r64, a) < 3e-6
+
+
+def test_qr_shape_fuzz(rng):
+    """Padding/edge fuzz: random (m, n, nb, chunk) combos through the public
+    qr + residual gate — guards the pad/slice layer against shape rot."""
+    for _ in range(12):
+        m = int(rng.integers(1, 300))
+        n = int(rng.integers(1, 300))
+        nb = int(rng.choice([16, 32, 64, 128]))
+        chunk = int(rng.choice([1, 2, 4]))
+        a = rng.standard_normal((m, n)).astype(np.float32)
+        q, r = tileqr.qr(a, config=QRConfig(nb=nb, chunk=chunk))
+        k = min(m, n)
+        assert q.shape == (m, k) and r.shape == (k, n)
+        den = max(np.linalg.norm(a), 1.0)
+        assert (
+            np.linalg.norm(np.asarray(q, np.float64) @ np.asarray(r, np.float64) - a) / den
+            < 5e-6
+        ), (m, n, nb, chunk)
