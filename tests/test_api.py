@@ -237,3 +237,14 @@ def test_qr_shape_fuzz(rng):
             np.linalg.norm(np.asarray(q, np.float64) @ np.asarray(r, np.float64) - a) / den
             < 5e-6
         ), (m, n, nb, chunk)
+
+
+def test_driver_auto_policy():
+    """driver="auto" (default) resolves to static for <= 32 panels and
+    dynamic beyond, so a first qr() at 16384^2+ compiles in seconds."""
+    cfg = QRConfig(nb=256)
+    assert cfg.driver == "auto"
+    assert cfg.resolve_driver(8192, 8192) == "static"
+    assert cfg.resolve_driver(16384, 16384) == "dynamic"
+    assert QRConfig(nb=256, driver="static").resolve_driver(16384, 16384) == "static"
+    assert QRConfig(nb=64).resolve_driver(4096, 4096) == "dynamic"

@@ -79,7 +79,7 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # and XLA flushes it to zero (caught by test_prescale_near_fp32_max)
         a = a / scale
     ap, _ = pad_to_tiles(a, cfg.nb)
-    if cfg.driver == "dynamic":
+    if cfg.resolve_driver(m, n) == "dynamic":
         a_out, df = qr_tiled_dyn(
             ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
             interpret=resolve_interpret(cfg.interpret),

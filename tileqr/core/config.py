@@ -41,15 +41,19 @@ class QRConfig:
         column-loop count by ~chunk x. The driver reduces it to the largest
         divisor of the row-tile count.
       mesh_shape: (rows, cols) for the sharded driver.
-      driver: square-path driver selection. "static" (default) trace-unrolls
-        the panel loop — fastest steady-state, but first-compile cost grows
+      driver: square-path driver selection. "static" trace-unrolls the
+        panel loop — fastest steady-state, but first-compile cost grows
         with the panel count (~45 min at 16384² through this environment's
         remote-compile service). "dynamic" runs an O(1)-kernel
         ``lax.fori_loop`` driver (drivers/square_dyn.py — Mosaic dynamic
         grids + scalar-prefetch index maps): compiles in seconds at any
-        size for ~20% steady-state cost (measured 9.31 vs 7.79 ms at 4096²)
-        — the bounded-compile path for 32768²-scale panel counts
-        (SURVEY.md §7.2 item 3).
+        size for a ~6–20% steady-state cost (9.31 vs 7.79 ms at 4096²;
+        ~296 vs 280 ms at 16384²) — the bounded-compile path for
+        32768²-scale panel counts (SURVEY.md §7.2 item 3). "auto"
+        (default) picks static for ≤ 32 panels and dynamic beyond, so a
+        first call at 16384²+ costs seconds, not an unannounced
+        multi-minute compile; pass "static" explicitly to force the
+        trace-unrolled driver at any size.
       prescale: divide A by an exact power-of-2 ≥ max|A| before factoring
         and fold the scale back into R. Lifts the documented fp32
         input-magnitude limit (kernels/geqrt.py: column norms overflow for
@@ -71,8 +75,12 @@ class QRConfig:
     precision: str = "highest"
     interpret: Optional[bool] = None
     mesh_shape: Tuple[int, int] = (4, 2)
-    driver: str = "static"
+    driver: str = "auto"
     prescale: bool = False
+
+    # static-driver panel-count ceiling for driver="auto" (32 panels ≈
+    # 8192² at nb=256 — compile stays in low minutes and is cached)
+    AUTO_STATIC_MAX_PANELS = 32
 
     def __post_init__(self):
         if self.nb % 8 != 0:
@@ -87,8 +95,17 @@ class QRConfig:
             while self.nb % ib:
                 ib -= 1
             object.__setattr__(self, "ib", ib)
-        if self.driver not in ("static", "dynamic"):
-            raise ValueError(f"driver={self.driver!r} must be static|dynamic")
+        if self.driver not in ("auto", "static", "dynamic"):
+            raise ValueError(f"driver={self.driver!r} must be auto|static|dynamic")
+
+    def resolve_driver(self, m: int, n: int) -> str:
+        """Concrete driver for an (m, n) problem ("auto" → panel-count rule)."""
+        if self.driver != "auto":
+            return self.driver
+        from tileqr.core.layout import round_up
+
+        k_max = min(round_up(m, self.nb), round_up(n, self.nb)) // self.nb
+        return "static" if k_max <= self.AUTO_STATIC_MAX_PANELS else "dynamic"
 
     def replace(self, **kw) -> "QRConfig":
         return dataclasses.replace(self, **kw)
