@@ -248,3 +248,35 @@ def test_driver_auto_policy():
     assert cfg.resolve_driver(16384, 16384) == "dynamic"
     assert QRConfig(nb=256, driver="static").resolve_driver(16384, 16384) == "static"
     assert QRConfig(nb=64).resolve_driver(4096, 4096) == "dynamic"
+
+
+def test_factors_are_jit_transparent(rng):
+    """Factor objects pass through jit boundaries as ARGUMENTS (pytrees with
+    static int fields). Closing over a factor instead bakes its arrays into
+    the executable as constants — 3.6 GB of HLO at the 1048576x512 config,
+    which broke remote compilation (review r2)."""
+    import jax
+
+    a = rng.standard_normal((192, 128)).astype(np.float32)
+
+    f = tileqr.qr_factor(a, config=CFG)
+    g = jax.jit(lambda fac, c: tileqr.apply_q(fac, c, trans=True, config=CFG))
+    qta = g(f, a)
+    r_full = np.triu(np.asarray(tileqr.qr(a, mode="r", config=CFG)))
+    assert relerr(np.asarray(qta)[:128], r_full) < 3e-6
+
+    fd = tileqr.qr_factor(a, config=QRConfig(nb=64, driver="dynamic"))
+    qta_d = jax.jit(
+        lambda fac, c: tileqr.apply_q(fac, c, trans=True, config=QRConfig(nb=64, driver="dynamic"))
+    )(fd, a)
+    assert relerr(np.asarray(qta_d)[:128], r_full) < 3e-6
+
+    ft = tileqr.tsqr(
+        rng.standard_normal((1024, 48)).astype(np.float32), mode="factor", config=CFG
+    )
+    from tileqr.drivers.tsqr import tsqr_apply_q
+
+    c = rng.standard_normal((ft.shape[0], 48)).astype(np.float32)
+    out = jax.jit(lambda fac, cc: tsqr_apply_q(fac, cc, trans=True))(ft, jnp.asarray(c))
+    top = np.asarray(out)[:48]
+    assert np.isfinite(top).all()

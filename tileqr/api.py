@@ -56,6 +56,16 @@ class QRFactors(NamedTuple):
     scale: object = 1.0
 
 
+# pytree with (nb, chunk, shape) static — factors cross jit boundaries as
+# arguments without tracing their int fields (see drivers/tsqr.py rationale)
+jax.tree_util.register_pytree_node(
+    QRFactors,
+    lambda f: ((f.packed, f.r_diag, f.t_geqrt, f.panels, f.scale),
+               (f.nb, f.chunk, f.shape)),
+    lambda aux, ch: QRFactors(ch[0], ch[1], ch[2], ch[3], *aux, ch[4]),
+)
+
+
 def _cfg(config: Optional[QRConfig]) -> QRConfig:
     return config if config is not None else QRConfig()
 

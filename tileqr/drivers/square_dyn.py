@@ -42,7 +42,11 @@ from tileqr.kernels.panel import _mk_panel_kernel
 
 
 class DynFactors(NamedTuple):
-    """Flat-buffer tiled-QR factors of the dynamic driver."""
+    """Flat-buffer tiled-QR factors of the dynamic driver.
+
+    Registered as a jax pytree with (nb, chunk, shape) as static aux data —
+    see TSQRFactors (drivers/tsqr.py) for why factors must cross jit
+    boundaries as arguments with their int fields kept static."""
 
     r_diag: jnp.ndarray  # (k_max, nb, nb)
     t_geqrt: jnp.ndarray  # (k_max, nb, nb)
@@ -53,6 +57,13 @@ class DynFactors(NamedTuple):
     nb: int
     chunk: int
     shape: Tuple[int, int]
+
+
+jax.tree_util.register_pytree_node(
+    DynFactors,
+    lambda f: (tuple(f[:6]), (f.nb, f.chunk, f.shape)),
+    lambda aux, ch: DynFactors(*ch, *aux),
+)
 
 
 def _chunk_bases(mt: int, nt: int, c: int):

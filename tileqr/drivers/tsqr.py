@@ -50,7 +50,13 @@ class TSQRFactors(NamedTuple):
     """packed_leaves: (M, n) leaf reflectors (packed GEQRT form per leaf);
     t_leaves: (p, n, n) leaf compact-WY T factors; levels: per tree level
     (packed (ncomb, a·n, n), t (ncomb, n, n), survivors_before, arity);
-    r: (n, n) final factor."""
+    r: (n, n) final factor.
+
+    Registered as a jax pytree whose int fields (leaf_rows, shape, plan,
+    level counts) are STATIC aux data, so factors pass through ``jax.jit``
+    boundaries as arguments — closing over a factor instead bakes its
+    arrays into the HLO as multi-GiB constants (measured 3.6 GB at the
+    1048576×512 config, which breaks remote compilation)."""
 
     packed_leaves: jnp.ndarray
     t_leaves: jnp.ndarray
@@ -59,6 +65,29 @@ class TSQRFactors(NamedTuple):
     leaf_rows: int
     shape: Tuple[int, int]
     plan: Tuple  # static _tree_plan output, parallel to ``levels``
+
+
+def _tsqr_factors_flatten(f: TSQRFactors):
+    lvl_arrays = tuple((pk, tl) for pk, tl, _, _ in f.levels)
+    lvl_static = tuple((cnt, a) for _, _, cnt, a in f.levels)
+    return (
+        (f.packed_leaves, f.t_leaves, lvl_arrays, f.r),
+        (lvl_static, f.leaf_rows, f.shape, f.plan),
+    )
+
+
+def _tsqr_factors_unflatten(aux, children):
+    lvl_static, leaf_rows, shape, plan = aux
+    packed, ts, lvl_arrays, r = children
+    levels = tuple(
+        (pk, tl, cnt, a) for (pk, tl), (cnt, a) in zip(lvl_arrays, lvl_static)
+    )
+    return TSQRFactors(packed, ts, levels, r, leaf_rows, shape, plan)
+
+
+jax.tree_util.register_pytree_node(
+    TSQRFactors, _tsqr_factors_flatten, _tsqr_factors_unflatten
+)
 
 
 # VMEM budget for the transposed working scratch. The kernel's peak footprint
