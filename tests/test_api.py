@@ -280,3 +280,15 @@ def test_factors_are_jit_transparent(rng):
     out = jax.jit(lambda fac, cc: tsqr_apply_q(fac, cc, trans=True))(ft, jnp.asarray(c))
     top = np.asarray(out)[:48]
     assert np.isfinite(top).all()
+
+
+def test_qr_batched_vec_fallback(rng):
+    """Odd batch sizes (no power-of-2 group divisor) route through the
+    batch-vectorized XLA path — same contract as the grouped kernel."""
+    a = rng.standard_normal((7, 96, 64)).astype(np.float32)
+    q, r = tileqr.qr_batched(a, config=CFG)
+    assert q.shape == (7, 96, 64) and r.shape == (7, 64, 64)
+    for i in range(7):
+        qi = np.asarray(q[i], np.float64)
+        assert np.linalg.norm(a[i] - qi @ np.asarray(r[i], np.float64)) / np.linalg.norm(a[i]) < 3e-6
+        assert np.linalg.norm(qi.T @ qi - np.eye(64)) < 1e-4
