@@ -292,3 +292,17 @@ def test_qr_batched_vec_fallback(rng):
         qi = np.asarray(q[i], np.float64)
         assert np.linalg.norm(a[i] - qi @ np.asarray(r[i], np.float64)) / np.linalg.norm(a[i]) < 3e-6
         assert np.linalg.norm(qi.T @ qi - np.eye(64)) < 1e-4
+
+
+def test_prescale_float64(rng):
+    """Review r2b: the prescale exponent clamp is dtype-dependent — float64
+    inputs with entries ~1e200 factor finitely (fp32's 127 clamp must not
+    apply)."""
+    a = (rng.standard_normal((96, 64)) * 1e200).astype(np.float64)
+    cfg = QRConfig(nb=32, dtype=jnp.float64, prescale=True)
+    q, r = tileqr.qr(a, config=cfg)
+    q64, r64 = np.asarray(q), np.asarray(r)
+    assert np.isfinite(q64).all() and np.isfinite(r64).all()
+    # compute the residual on rescaled copies: ||a||^2 itself overflows f64
+    d = q64 @ (r64 / 1e200) - a / 1e200
+    assert np.linalg.norm(d) / np.linalg.norm(a / 1e200) < 1e-12

@@ -41,3 +41,15 @@ def test_qrconfig_ib_clamps_to_nb_divisor():
     assert QRConfig(nb=320).ib == 80
     assert QRConfig(nb=256).ib == 128
     assert QRConfig(nb=64).ib == 64
+
+
+def test_qrconfig_rejects_nonpositive_ib():
+    """Review r2b: ib < 1 must raise, not clamp to a negative divisor."""
+    import pytest
+
+    from tileqr.core.config import QRConfig
+
+    with pytest.raises(ValueError):
+        QRConfig(nb=64, ib=-3)
+    with pytest.raises(ValueError):
+        QRConfig(nb=64, ib=0)

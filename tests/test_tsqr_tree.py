@@ -108,9 +108,37 @@ def test_large_n_tree_path(rng):
     n = 1536
     lr = auto_leaf_rows(4 * n, n)
     a = rng.standard_normal((2 * lr, n)).astype(np.float32)
-    f = tsqr_factor(jnp.asarray(a), nb=n, leaf_rows=lr)
+    # interpret=True: at n=1536 the (n, 2n) scratch exceeds the compiled
+    # Mosaic VMEM scope (tall_geqrt raises a clear error there)
+    f = tsqr_factor(jnp.asarray(a), nb=n, leaf_rows=lr, interpret=True)
     rn = np.linalg.qr(a, mode="r")
     r = np.asarray(f.r)
     s = np.sign(np.diag(rn)) * np.sign(np.diag(r))
     s[s == 0] = 1
     assert np.linalg.norm(r * s[:, None] - rn) / np.linalg.norm(rn) < 5e-5
+
+
+def test_tree_levels_allow_non8_n(rng):
+    """Review r2b: the staged-leaf alignment guard must not reject unstaged
+    tree-level combine stacks whose a_l*n is not a multiple of 8."""
+    import jax.numpy as jnp
+
+    a = rng.standard_normal((288, 12)).astype(np.float32)
+    f = tsqr_factor(jnp.asarray(a), nb=16, leaf_rows=48, interpret=True)
+    rn = np.linalg.qr(a, mode="r")
+    r = np.asarray(f.r)
+    s = np.sign(np.diag(rn)) * np.sign(np.diag(r))
+    s[s == 0] = 1
+    assert np.linalg.norm(r * s[:, None] - rn) / np.linalg.norm(rn) < 5e-5
+
+
+def test_tall_geqrt_vmem_guard_message():
+    """Compiled large-n trees fail with a clear ValueError, not a Mosaic OOM."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tileqr.drivers.tsqr import tall_geqrt
+
+    a = jnp.zeros((6144, 1536), np.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        tall_geqrt(a, 3072, interpret=False)

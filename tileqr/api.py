@@ -80,10 +80,11 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # exact power-of-2 scaling: QR(A/s) has identical reflectors/τ and
         # R_true = s · R_stored, with no rounding introduced by the division
         amax = jnp.max(jnp.abs(a))
-        e = jnp.ceil(jnp.log2(jnp.maximum(amax, jnp.asarray(1e-30, a.dtype))))
-        # clamp: exp2(128) overflows fp32; amax/2^127 <= 2 never overflows
-        # the downstream column norms
-        s = jnp.exp2(jnp.minimum(e, 127.0))
+        tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
+        e = jnp.ceil(jnp.log2(jnp.maximum(amax, tiny)))
+        # clamp per dtype: exp2(maxexp) overflows; amax/2^(maxexp-1) <= 2
+        # never overflows the downstream column norms
+        s = jnp.exp2(jnp.minimum(e, float(jnp.finfo(a.dtype).maxexp - 1)))
         scale = jnp.where(amax > 0, s, jnp.ones((), a.dtype))
         # true division, NOT multiply-by-reciprocal: 1/2^127 is subnormal
         # and XLA flushes it to zero (caught by test_prescale_near_fp32_max)

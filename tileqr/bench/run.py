@@ -150,11 +150,11 @@ def bench_batched(batch, cols, chain, check=False):
 
         return f
 
-    # mirror qr_batched's group selection so the record names the kernel
-    # that actually ran (vec fallback when no power-of-2 group divides B)
-    group = 16
-    while group > 1 and batch % group:
-        group //= 2
+    # shared policy helper so the record names the kernel that actually ran
+    # (vec fallback when no power-of-2 group divides B)
+    from tileqr.drivers.batched import select_group
+
+    group = select_group(batch)
     t = per_iter(make, a, chain)
     rec = {
         "bench": "qr_batched",

@@ -85,6 +85,8 @@ class QRConfig:
     def __post_init__(self):
         if self.nb % 8 != 0:
             raise ValueError(f"nb={self.nb} must be a multiple of 8")
+        if self.ib < 1:
+            raise ValueError(f"ib={self.ib} must be >= 1")
         if self.ib > self.nb:
             object.__setattr__(self, "ib", self.nb)
         if self.nb % self.ib != 0:

@@ -14,6 +14,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tileqr.kernels.common import (
+    acc_type,
     resolve_interpret,
     resolve_precision,
     triu,
@@ -72,7 +73,7 @@ def _mk_group_kernel(ib: int, precision):
         def bdot(x, y, contract):
             out = jax.lax.dot_general(
                 x, y, dimension_numbers=((contract), ((0,), (0,))),
-                precision=precision, preferred_element_type=jnp.float32,
+                precision=precision, preferred_element_type=acc_type(dt),
             )
             return out.astype(dt)
 
@@ -213,7 +214,7 @@ def geqrt_batched_vec(a, ib: int = 32, precision: str = "highest"):
     zero = jnp.zeros((), dt)
 
     def ee(spec, x, y):
-        return jnp.einsum(spec, x, y, precision=prec, preferred_element_type=jnp.float32).astype(dt)
+        return jnp.einsum(spec, x, y, precision=prec, preferred_element_type=acc_type(dt)).astype(dt)
 
     # transposed batch layout (B, n, m): columns live along sublanes, matrix
     # rows along lanes — per-column slicing/updates never index the lane
@@ -280,6 +281,15 @@ def geqrt_batched_vec(a, ib: int = 32, precision: str = "highest"):
     return at.transpose(0, 2, 1), tt.transpose(0, 2, 1)
 
 
+def select_group(batch: int, cap: int = 16) -> int:
+    """Kernel-selection policy shared with the bench harness: the largest
+    power-of-2 group <= cap dividing the batch; 1 means the vec fallback."""
+    group = cap
+    while group > 1 and batch % group:
+        group //= 2
+    return group
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "precision", "interpret"))
 def qr_batched(
     a: jnp.ndarray,
@@ -298,9 +308,7 @@ def qr_batched(
     # grouped kernel (group matrices per grid step) amortizes the serial
     # column latency; fall back per divisibility (group must divide B)
     interp = resolve_interpret(interpret)
-    group = 16
-    while group > 1 and b % group:
-        group //= 2
+    group = select_group(b)
     if group > 1:
         packed, t = geqrt_batched_grouped(
             a, group=group, precision=precision, interpret=interp
@@ -314,8 +322,8 @@ def qr_batched(
     def form_q(p, tm):
         v = unit_lower(p)  # (m, n)
         # reduced Q = (I − V T Vᵀ)[:, :n] = E_n − V T (Vᵀ E_n) = E_n − V T V₁ᵀ
-        w = jnp.dot(tm, v[:n, :].T, precision=prec, preferred_element_type=jnp.float32)
-        q = -jnp.dot(v, w.astype(a.dtype), precision=prec, preferred_element_type=jnp.float32)
+        w = jnp.dot(tm, v[:n, :].T, precision=prec, preferred_element_type=acc_type(a.dtype))
+        q = -jnp.dot(v, w.astype(a.dtype), precision=prec, preferred_element_type=acc_type(a.dtype))
         q = q.astype(a.dtype)
         eye = (
             jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tileqr.kernels.common import resolve_interpret, resolve_precision, triu
+from tileqr.kernels.common import acc_type, resolve_interpret, resolve_precision, triu
 from tileqr.kernels.geqrt import geqrt_in_refs
 from tileqr.kernels.larfb import larfb_body
 
@@ -164,9 +164,24 @@ def tall_geqrt(a, leaf_rows: int, ib: int = 128, interpret: bool = False):
     m, n = a.shape
     p = m // leaf_rows
     dt = a.dtype
-    if leaf_rows % 8:
-        raise ValueError(f"leaf_rows={leaf_rows} must be a multiple of 8")
     staged = leaf_rows * n * 4 > _UNSTAGED_LEAF_BYTES
+    if staged and leaf_rows % 8:
+        # only the staged path slices the leaf for DMA; unstaged (small)
+        # leaves — e.g. tree-level combine stacks with n % 8 != 0 — are fine
+        raise ValueError(f"staged leaf_rows={leaf_rows} must be a multiple of 8")
+    if not interpret:
+        # compiled Mosaic: the transposed working scratch must fit the
+        # ~16 MB VMEM scope — fail with guidance instead of an obscure
+        # Mosaic OOM (large-n trees run in interpret mode or via the chain
+        # strategy; see auto_leaf_rows)
+        scratch_bytes = (n * leaf_rows + n * n) * 4
+        if scratch_bytes > 14 * 1024 * 1024:
+            raise ValueError(
+                f"tall_geqrt scratch (n={n}, leaf_rows={leaf_rows}) needs "
+                f"{scratch_bytes / 2**20:.1f} MB VMEM > the ~16 MB Mosaic "
+                "scope; use a smaller leaf/n, interpret mode, or the chain "
+                "strategy (tsqr(strategy='chain'))"
+            )
     # stage buffer: a divisor of leaf_rows, preferring quarter/half leaves
     # that keep lane slice offsets (h·stage_rows) 128-aligned; fall back to
     # the whole leaf (single DMA) rather than risk unaligned slices or a
@@ -351,11 +366,11 @@ def tsqr_form_q(
             rows == cols, jnp.ones_like(packed), jnp.zeros_like(packed)
         )
         w = jnp.dot(v[:n].T, top, precision=prec,
-                    preferred_element_type=jnp.float32).astype(packed.dtype)
-        w = jnp.dot(t, w, precision=prec, preferred_element_type=jnp.float32).astype(
+                    preferred_element_type=acc_type(packed.dtype)).astype(packed.dtype)
+        w = jnp.dot(t, w, precision=prec, preferred_element_type=acc_type(packed.dtype)).astype(
             packed.dtype
         )
-        out = -jnp.dot(v, w, precision=prec, preferred_element_type=jnp.float32).astype(
+        out = -jnp.dot(v, w, precision=prec, preferred_element_type=acc_type(packed.dtype)).astype(
             packed.dtype
         )
         return out.at[:n, :].add(top)

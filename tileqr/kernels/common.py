@@ -27,12 +27,19 @@ def resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+def acc_type(dt):
+    """Accumulation dtype for matmuls (pallas_guide: always set
+    preferred_element_type): fp32 for fp32/bf16 operands; float64 operands
+    (CPU/interpret-mode paths — TPUs have no native f64) must accumulate in
+    f64 or the whole factorization silently rounds to fp32 accuracy."""
+    return dt if dt == jnp.float64 else jnp.float32
+
+
 def dot(a, b, precision):
-    """MXU matmul with fp32 accumulation (pallas_guide: always set
-    preferred_element_type)."""
-    return jnp.dot(a, b, precision=precision, preferred_element_type=jnp.float32).astype(
-        a.dtype
-    )
+    """MXU matmul with dtype-matched accumulation."""
+    return jnp.dot(
+        a, b, precision=precision, preferred_element_type=acc_type(a.dtype)
+    ).astype(a.dtype)
 
 
 def dot_t(a, b, precision):
@@ -42,7 +49,7 @@ def dot_t(a, b, precision):
         b,
         dimension_numbers=(((0,), (0,)), ((), ())),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type(a.dtype),
     )
     return out.astype(a.dtype)
 

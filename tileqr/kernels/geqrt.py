@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tileqr.kernels.common import resolve_interpret
+from tileqr.kernels.common import acc_type, resolve_interpret
 
 
 def geqrt_in_refs(
@@ -87,7 +87,7 @@ def geqrt_in_refs(
     def contract_lanes(a, b):
         out = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
+            precision=precision, preferred_element_type=acc_type(dt),
         )
         return out.astype(dt)
 
@@ -180,9 +180,9 @@ def geqrt_in_refs(
             gm = jnp.where(mask, g, zero)
             ttb = ttb - jnp.dot(
                 ttb,
-                jnp.dot(gm, ttb, precision=precision, preferred_element_type=jnp.float32).astype(dt),
+                jnp.dot(gm, ttb, precision=precision, preferred_element_type=acc_type(dt)).astype(dt),
                 precision=precision,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_type(dt),
             ).astype(dt)
             bsz *= 2
         tt_ref[s : s + ibk, s : s + ibk] = ttb
@@ -194,7 +194,7 @@ def geqrt_in_refs(
             w1 = contract_lanes(at_rest, vt_b)  # (n_rest, ibk) = (V_bᵀ A_rest)ᵀ
             w2 = contract_lanes(w1, tt_bb)  # = (T_bᵀ V_bᵀ A_rest)ᵀ
             at_ref[s + ibk :, :w_ext] = at_rest - jnp.dot(
-                w2, vt_b, precision=precision, preferred_element_type=jnp.float32
+                w2, vt_b, precision=precision, preferred_element_type=acc_type(dt)
             ).astype(dt)
 
         # off-diagonal T: T[0:s, s:s+ibk] = −T1 (V1ᵀ V_b) T_b, stored transposed
@@ -203,10 +203,10 @@ def geqrt_in_refs(
             zt = contract_lanes(vt_b, vt_prev)  # (ibk, s) = V_bᵀ V1
             m2 = jnp.dot(
                 zt, tt_ref[0:s, 0:s], precision=precision,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_type(dt),
             ).astype(dt)
             tt_ref[s : s + ibk, 0:s] = -jnp.dot(
-                tt_bb, m2, precision=precision, preferred_element_type=jnp.float32
+                tt_bb, m2, precision=precision, preferred_element_type=acc_type(dt)
             ).astype(dt)
 
 
