@@ -306,3 +306,18 @@ def test_prescale_float64(rng):
     # compute the residual on rescaled copies: ||a||^2 itself overflows f64
     d = q64 @ (r64 / 1e200) - a / 1e200
     assert np.linalg.norm(d) / np.linalg.norm(a / 1e200) < 1e-12
+
+
+def test_qr_bfloat16(rng):
+    """bf16 end-to-end QR: kernels are dtype-generic with fp32 accumulation
+    — backward error lands at bf16 resolution (~1e-2), documented capability
+    rather than acceptance-grade accuracy."""
+    a32 = rng.standard_normal((128, 96)).astype(np.float32)
+    cfg = QRConfig(nb=64, dtype=jnp.bfloat16)
+    q, r = tileqr.qr(a32, config=cfg)
+    assert q.dtype == jnp.bfloat16 and r.dtype == jnp.bfloat16
+    q64 = np.asarray(q, np.float64)
+    r64 = np.asarray(r, np.float64)
+    a_b = np.asarray(jnp.asarray(a32, jnp.bfloat16), np.float64)
+    assert np.linalg.norm(q64 @ r64 - a_b) / np.linalg.norm(a_b) < 5e-2
+    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1.0
