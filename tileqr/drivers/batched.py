@@ -153,18 +153,10 @@ def _mk_group_kernel(ib: int, precision):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group", "ib", "precision", "interpret"))
-def geqrt_batched_grouped(
-    a, group: int = 16, ib: int = 32, precision: str = "highest", interpret: bool = False
-):
-    """Batched GEQRT with ``group`` matrices per grid step, batch along the
-    kernel's leading dim: per-column latency (the cost that serializes the
-    per-matrix grid path) is amortized group×, and the ib-block reflector
-    applies run as batched MXU contractions. Works on the transposed batch
-    so no per-column lane indexing occurs.
-
-    a: (B, m, n), B % group == 0 → (packed (B, m, n), T (B, n, n)).
-    """
+def _geqrt_batched_grouped_t(a, group, ib, precision, interpret):
+    """Grouped kernel returning TRANSPOSED-layout outputs (packedᵀ (B, n, m),
+    Tᵀ (B, n, n)) — the kernel's native layout; qr_batched consumes these
+    directly so Q/R formation pays no 256 MB un-transpose passes."""
     b, m, n = a.shape
     if b % group:
         raise ValueError(f"batch {b} not divisible by group {group}")
@@ -188,9 +180,23 @@ def geqrt_batched_grouped(
         ),
         interpret=interpret,
     )(at)
-    packed = packed_t.reshape(b, n, m).transpose(0, 2, 1)
-    t = t_t.reshape(b, n, n).transpose(0, 2, 1)
-    return packed, t
+    return packed_t.reshape(b, n, m), t_t.reshape(b, n, n)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "ib", "precision", "interpret"))
+def geqrt_batched_grouped(
+    a, group: int = 16, ib: int = 32, precision: str = "highest", interpret: bool = False
+):
+    """Batched GEQRT with ``group`` matrices per grid step, batch along the
+    kernel's leading dim: per-column latency (the cost that serializes the
+    per-matrix grid path) is amortized group×, and the ib-block reflector
+    applies run as batched MXU contractions. Works on the transposed batch
+    so no per-column lane indexing occurs.
+
+    a: (B, m, n), B % group == 0 → (packed (B, m, n), T (B, n, n)).
+    """
+    packed_t, t_t = _geqrt_batched_grouped_t(a, group, ib, precision, interpret)
+    return packed_t.transpose(0, 2, 1), t_t.transpose(0, 2, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("ib", "precision"))
@@ -303,18 +309,46 @@ def qr_batched(
     """
     prec = resolve_precision(precision)
     b, m, n = a.shape
+    dt = a.dtype
     if n > m:
         raise ValueError("qr_batched requires m >= n")
     # grouped kernel (group matrices per grid step) amortizes the serial
     # column latency; fall back per divisibility (group must divide B)
     interp = resolve_interpret(interpret)
     group = select_group(b)
+
+    def eye_mn():
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+        ).astype(dt)
+
     if group > 1:
-        packed, t = geqrt_batched_grouped(
-            a, group=group, precision=precision, interpret=interp
-        )
-    else:
-        packed, t = geqrt_batched_vec(a, precision=precision)
+        # consume the kernel's TRANSPOSED-layout outputs directly: R and Q
+        # form via layout-aware contractions, skipping two full-batch
+        # un-transpose passes (256 MB each at the config-4 shape)
+        pt, tt_ = _geqrt_batched_grouped_t(a, group, 32, precision, interp)
+        r = jax.vmap(triu)(jnp.matrix_transpose(pt[:, :, :n]))
+        if mode == "r":
+            return r
+        rows_j = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+        one = jnp.ones((), dt)
+        zero = jnp.zeros((), dt)
+        # vt[b, j, r] = V[r, j] (unit-lower in transposed form)
+        vt = jnp.where(lane_r == rows_j, one, jnp.where(lane_r > rows_j, pt, zero))
+
+        def ee(spec, x, y):
+            return jnp.einsum(
+                spec, x, y, precision=prec, preferred_element_type=acc_type(dt)
+            ).astype(dt)
+
+        # Q = E − V T V₁ᵀ with T[j, i] = ttᵀ: X[b,j,c] = Σᵢ T[j,i] V[c,i]
+        x = ee("bij,bic->bjc", tt_, vt[:, :, :n])
+        q = -ee("bjr,bjc->brc", vt, x) + eye_mn()[None]
+        return q, r
+
+    packed, t = geqrt_batched_vec(a, precision=precision)
     r = jax.vmap(lambda p: triu(p[:n, :]))(packed)
     if mode == "r":
         return r
@@ -322,14 +356,9 @@ def qr_batched(
     def form_q(p, tm):
         v = unit_lower(p)  # (m, n)
         # reduced Q = (I − V T Vᵀ)[:, :n] = E_n − V T (Vᵀ E_n) = E_n − V T V₁ᵀ
-        w = jnp.dot(tm, v[:n, :].T, precision=prec, preferred_element_type=acc_type(a.dtype))
-        q = -jnp.dot(v, w.astype(a.dtype), precision=prec, preferred_element_type=acc_type(a.dtype))
-        q = q.astype(a.dtype)
-        eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-        ).astype(a.dtype)
-        return q + eye
+        w = jnp.dot(tm, v[:n, :].T, precision=prec, preferred_element_type=acc_type(dt))
+        q = -jnp.dot(v, w.astype(dt), precision=prec, preferred_element_type=acc_type(dt))
+        return q.astype(dt) + eye_mn()
 
     q = jax.vmap(form_q)(packed, t)
     return q, r
