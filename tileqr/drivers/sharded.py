@@ -36,8 +36,6 @@ Per panel k (hierarchical CAQR):
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tileqr.kernels.common import resolve_interpret, triu
+from tileqr.kernels.common import triu
 from tileqr.kernels.geqrt import geqrt_in_refs
 
 

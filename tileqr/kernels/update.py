@@ -23,11 +23,10 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tileqr.kernels.common import resolve_interpret, resolve_precision
+from tileqr.kernels.common import resolve_precision
 from tileqr.kernels.larfb import larfb_body
 from tileqr.kernels.ssrfb import ssrfb_body
 
