@@ -99,3 +99,24 @@ def test_bitwise_determinism(rng):
     out2 = factor(a, 64, chunk=4)
     for x, y in zip(jax.tree_util.tree_leaves(out1), jax.tree_util.tree_leaves(out2)):
         assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_orgqr_triangular_window_matches_full_apply(rng):
+    """apply_q_tiled(triangular=True) on an identity must equal the full
+    sweep bitwise-closely: panel k's skipped column tiles < k are exact
+    no-ops (W sums over all-zero rows), so the windowed result is the same
+    computation minus provably-zero work."""
+    import jax.numpy as jnp
+
+    from tileqr.drivers.square import apply_q_tiled, qr_tiled
+
+    a = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    _, _, tg, panels = qr_tiled(a, 64, interpret=True)
+    eye = jnp.eye(256, dtype=jnp.float32)
+    full = np.asarray(
+        apply_q_tiled(panels, tg, eye, 64, trans=False, interpret=True)
+    )
+    tri = np.asarray(
+        apply_q_tiled(panels, tg, eye, 64, trans=False, interpret=True, triangular=True)
+    )
+    assert (full == tri).all()

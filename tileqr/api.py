@@ -134,11 +134,25 @@ def apply_q(
 def orgqr(f: QRFactors, ncols: Optional[int] = None, config: Optional[QRConfig] = None):
     """Form Q explicitly: M×ncols (default: reduced, ncols = min(M, N)).
 
-    LAPACK xORGQR equivalent on the tiled factors (SURVEY.md §3.4)."""
+    LAPACK xORGQR equivalent on the tiled factors (SURVEY.md §3.4). On the
+    static-driver path the apply uses the xORGQR growing-window trick
+    (apply_q_tiled triangular=True): panel k is an exact no-op on the
+    identity's column tiles < k, halving the Q-formation flops."""
+    cfg = _cfg(config)
     m, n = f.shape
     k = min(m, n) if ncols is None else ncols
-    eye = jnp.eye(m, k, dtype=f.packed.dtype)
-    return apply_q(f, eye, trans=False, config=config)
+    if isinstance(f.panels, DynFactors):
+        eye = jnp.eye(m, k, dtype=f.packed.dtype)
+        return apply_q(f, eye, trans=False, config=config)
+    mp = f.packed.shape[0]
+    pp = round_up(max(k, 1), f.nb)
+    eye_p = jnp.eye(mp, pp, dtype=f.packed.dtype)
+    out = apply_q_tiled(
+        f.panels, f.t_geqrt, eye_p, f.nb, chunk=f.chunk, trans=False,
+        precision=cfg.precision, interpret=resolve_interpret(cfg.interpret),
+        triangular=True,
+    )
+    return out[:m, :k]
 
 
 def qr(

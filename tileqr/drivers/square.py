@@ -135,7 +135,8 @@ def assemble_r(packed: jnp.ndarray, r_diag: jnp.ndarray, nb: int) -> jnp.ndarray
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "chunk", "trans", "precision", "interpret")
+    jax.jit,
+    static_argnames=("nb", "chunk", "trans", "precision", "interpret", "triangular"),
 )
 def apply_q_tiled(
     panels: Tuple,
@@ -146,19 +147,30 @@ def apply_q_tiled(
     trans: bool = True,
     precision: str = "highest",
     interpret: bool = False,
+    triangular: bool = False,
 ):
     """C ← Qᵀ C (trans) or Q C, replaying the (possibly chunked) tiled
     reflectors (LAPACK xORMQR semantics; SURVEY.md §3.4). c_mat: (M, P),
-    P a multiple of nb. ``chunk`` must match the factorization's."""
+    P a multiple of nb. ``chunk`` must match the factorization's.
+
+    triangular (trans=False only): LAPACK xORGQR's growing-window trick for
+    C with eye-like column structure (column tile j zero below row tile j,
+    as the identity is): in reverse panel order, panel k is an EXACT no-op
+    on column tiles < k — W = V₂ᵀC_bot sums over all-zero rows — so each
+    panel's sweep starts at column tile k, halving the Q-formation flops.
+    Only valid for such C (api.orgqr); a general C must use the full sweep.
+    """
     m, _p = c_mat.shape
     mt = m // nb
     k_max = len(panels)
     c = _chunk_for(mt, chunk)
+    assert not (triangular and trans), "triangular window applies to Q·C only"
 
     def one_panel(cm, k):
         n_head, base, nc = _segments(k, mt, c)
         v_stack, t2h, v_chunks, t2t = panels[k]
-        strip = cm[k * nb : (k + 1) * nb, :]
+        cs = k if triangular else 0  # first column tile this panel touches
+        strip = cm[k * nb : (k + 1) * nb, cs * nb :]
         if trans:
             # LARFB fused into the first couple sweep (factor order)
             if n_head > 0:
@@ -187,14 +199,14 @@ def apply_q_tiled(
             # LARFB fused into the last couple sweep (Q-apply order)
             if nc > 0:
                 cm, strip = couple_strip(
-                    v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, 0,
+                    v_chunks, t2t, cm, strip, 0, base, nc, c * nb, nb, cs,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
                     vkk=None if n_head > 0 else v_stack[0],
                     tg=None if n_head > 0 else t_geqrt[k],
                 )
             if n_head > 0:
                 cm, strip = couple_strip(
-                    v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, 0,
+                    v_stack, t2h, cm, strip, 1, k + 1, n_head, nb, nb, cs,
                     trans=False, reverse=True, precision=precision, interpret=interpret,
                     vkk=v_stack[0], tg=t_geqrt[k],
                 )
@@ -203,7 +215,7 @@ def apply_q_tiled(
                     v_stack[0], t_geqrt[k], strip, nb, trans=False,
                     precision=precision, interpret=interpret,
                 )
-        return jax.lax.dynamic_update_slice(cm, strip, (k * nb, 0))
+        return jax.lax.dynamic_update_slice(cm, strip, (k * nb, cs * nb))
 
     ks = range(k_max) if trans else range(k_max - 1, -1, -1)
     for k in ks:
