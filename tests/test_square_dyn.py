@@ -35,3 +35,24 @@ def test_dyn_matches_static_and_roundtrips(rng):
     qtc = apply_q_tiled_dyn(f, c, trans=True, interpret=True)
     back = np.asarray(apply_q_tiled_dyn(f, qtc, trans=False, interpret=True), np.float64)
     assert np.linalg.norm(back - np.asarray(c)) / np.linalg.norm(np.asarray(c)) < 1e-5
+
+
+def test_dyn_triangular_window_matches_full_apply(rng):
+    """Dynamic twin of the xORGQR growing window: same executables (scalar
+    column offsets + dynamic grids), bitwise-equal to the full sweep on an
+    identity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tileqr.drivers.square_dyn import apply_q_tiled_dyn, qr_tiled_dyn
+
+    a = jnp.asarray(
+        np.random.default_rng(0).standard_normal((256, 256)).astype(np.float32)
+    )
+    _, f = qr_tiled_dyn(a, 64, interpret=True)
+    eye = jnp.eye(256, dtype=jnp.float32)
+    full = np.asarray(apply_q_tiled_dyn(f, eye, trans=False, interpret=True))
+    tri = np.asarray(
+        apply_q_tiled_dyn(f, eye, trans=False, interpret=True, triangular=True)
+    )
+    assert (full == tri).all()

@@ -141,17 +141,20 @@ def orgqr(f: QRFactors, ncols: Optional[int] = None, config: Optional[QRConfig] 
     cfg = _cfg(config)
     m, n = f.shape
     k = min(m, n) if ncols is None else ncols
-    if isinstance(f.panels, DynFactors):
-        eye = jnp.eye(m, k, dtype=f.packed.dtype)
-        return apply_q(f, eye, trans=False, config=config)
     mp = f.packed.shape[0]
     pp = round_up(max(k, 1), f.nb)
     eye_p = jnp.eye(mp, pp, dtype=f.packed.dtype)
-    out = apply_q_tiled(
-        f.panels, f.t_geqrt, eye_p, f.nb, chunk=f.chunk, trans=False,
-        precision=cfg.precision, interpret=resolve_interpret(cfg.interpret),
-        triangular=True,
-    )
+    if isinstance(f.panels, DynFactors):
+        out = apply_q_tiled_dyn(
+            f.panels, eye_p, trans=False, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret), triangular=True,
+        )
+    else:
+        out = apply_q_tiled(
+            f.panels, f.t_geqrt, eye_p, f.nb, chunk=f.chunk, trans=False,
+            precision=cfg.precision, interpret=resolve_interpret(cfg.interpret),
+            triangular=True,
+        )
     return out[:m, :k]
 
 

@@ -327,10 +327,18 @@ def apply_q_tiled_dyn(
     trans: bool = True,
     precision: str = "highest",
     interpret: bool = False,
+    triangular: bool = False,
 ):
     """C ← Qᵀ C (trans) or Q C from DynFactors. c_mat: (M, P), P % nb == 0.
     (Not wrapped in jit itself: the fori_loop body already lowers to one
-    XLA while over O(1) kernels; f's nb/chunk/shape stay Python ints.)"""
+    XLA while over O(1) kernels; f's nb/chunk/shape stay Python ints.)
+
+    triangular (trans=False only): xORGQR growing window — panel k starts
+    at column tile k (exact no-op on eye-structured columns < k; see
+    drivers/square.py). Free here: the kernels' column offsets are scalar
+    prefetch values and the grids are dynamic, so the SAME executables
+    serve the shrinking window."""
+    assert not (triangular and trans), "triangular window applies to Q·C only"
     nb, c = f.nb, f.chunk
     m, p = c_mat.shape
     mt = m // nb
@@ -368,16 +376,18 @@ def apply_q_tiled_dyn(
                 c * nb, nb, True, False, prec, interpret,
             )
         else:
+            cs = k if triangular else 0
+            ptk = pt - cs
             cm, strip = _couple_strip_dyn(
-                f.v_chunks, f.t2_chunks, cm, strip, cb, align // c, nch, 0, pt,
+                f.v_chunks, f.t2_chunks, cm, strip, cb, align // c, nch, cs, ptk,
                 c * nb, nb, False, True, prec, interpret,
             )
             cm, strip = _couple_strip_dyn(
-                v_stack, t2_stack, cm, strip, 1, k + 1, n_head, 0, pt,
+                v_stack, t2_stack, cm, strip, 1, k + 1, n_head, cs, ptk,
                 nb, nb, False, True, prec, interpret,
             )
             strip = _larfb_strip_dyn(
-                v_stack[0], tg_k, strip, 0, pt, nb, False, prec, interpret
+                v_stack[0], tg_k, strip, cs, ptk, nb, False, prec, interpret
             )
         return jax.lax.dynamic_update_slice(cm, strip, (k * nb, 0))
 
