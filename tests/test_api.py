@@ -85,6 +85,23 @@ def test_orgqr_apply_q_consistent(rng):
     assert relerr(qc_direct, qc_explicit) < 5e-5
 
 
+@pytest.mark.parametrize("driver", ["static", "dynamic"])
+def test_orgqr_reduced_ncols(rng, driver):
+    """orgqr with ncols < min(M, N) (ADVICE r2: the static driver's
+    growing-window slicing crashed on panels starting right of C's last
+    column). The reduced columns must equal the full Q's leading columns —
+    bitwise, since each column tile is computed by the same kernel grid
+    steps regardless of the window width."""
+    m, n = 128, 128
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = tileqr.qr_factor(a, QRConfig(nb=32, driver=driver))
+    q_full = np.asarray(tileqr.orgqr(f))
+    for ncols in (8, 32, 40, 96):
+        q_k = np.asarray(tileqr.orgqr(f, ncols=ncols))
+        assert q_k.shape == (m, ncols)
+        assert (q_k == q_full[:, :ncols]).all()
+
+
 def test_lstsq(rng):
     m, n = 300, 80
     a = rng.standard_normal((m, n)).astype(np.float32)
@@ -320,4 +337,8 @@ def test_qr_bfloat16(rng):
     r64 = np.asarray(r, np.float64)
     a_b = np.asarray(jnp.asarray(a32, jnp.bfloat16), np.float64)
     assert np.linalg.norm(q64 @ r64 - a_b) / np.linalg.norm(a_b) < 5e-2
-    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1.0
+    # Frobenius orthogonality scales as ~n·eps_bf16 = 96·2⁻⁸ ≈ 0.37 worst
+    # case; with fp32 accumulation the measured value is 0.13. Gate at 2×
+    # measured — far below the old vacuous 1.0 bound, and a real regression
+    # (e.g. accumulation-dtype rot → bf16 partial sums) blows past it.
+    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 0.26

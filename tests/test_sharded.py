@@ -21,7 +21,15 @@ needs_8 = pytest.mark.skipif(
 
 
 @needs_8
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (2, 2)])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [
+        (4, 2),
+        pytest.param((2, 4), marks=pytest.mark.slow),
+        pytest.param((8, 1), marks=pytest.mark.slow),
+        pytest.param((2, 2), marks=pytest.mark.slow),
+    ],
+)
 def test_r_agrees_with_single_chip(rng, mesh_shape):
     cfg = QRConfig(nb=32, mesh_shape=mesh_shape)
     a = rng.standard_normal((128, 128)).astype(np.float32)
@@ -33,6 +41,7 @@ def test_r_agrees_with_single_chip(rng, mesh_shape):
 
 
 @needs_8
+@pytest.mark.slow
 def test_residual_and_orthogonality(rng):
     cfg = QRConfig(nb=32, mesh_shape=(4, 2))
     m, n = 192, 128
@@ -59,6 +68,7 @@ def test_unpadded_shape(rng):
 
 
 @needs_8
+@pytest.mark.slow
 def test_sharded_deterministic(rng):
     cfg = QRConfig(nb=32, mesh_shape=(4, 2))
     a = rng.standard_normal((128, 128)).astype(np.float32)
@@ -68,6 +78,7 @@ def test_sharded_deterministic(rng):
 
 
 @needs_8
+@pytest.mark.slow
 def test_deep_tree_8x1_factor_reuse(rng):
     """VERDICT r1 weak-#3: mesh (8,1) exercises the deepest TTQRT/TTMQR tree
     (3 ppermute levels) with a non-power-of-2 panel count, and the factor

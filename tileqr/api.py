@@ -206,6 +206,14 @@ def tsqr(
     cfg = _cfg(config)
     if strategy not in ("auto", "tree", "chain"):
         raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain)")
+    if strategy == "chain" and mode == "factor":
+        # the chain path has no TSQRFactors representation — silently
+        # returning tree factors would hand the caller a different object
+        # than the strategy they named
+        raise ValueError(
+            'tsqr(strategy="chain") has no "factor" mode; use strategy='
+            '"tree" (TSQRFactors) or qr_factor (chunked square factors)'
+        )
     if strategy == "auto":
         strategy = "tree" if resolve_interpret(cfg.interpret) else "chain"
     if strategy == "chain" and mode != "factor":
@@ -245,7 +253,8 @@ def qr_batched(
     mp, np_ = round_up(m, 8), round_up(n, 8)
     ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, np_ - n)))
     out = _qr_batched(
-        ap, mode=mode, precision=cfg.precision, interpret=resolve_interpret(cfg.interpret)
+        ap, mode=mode, precision=cfg.precision,
+        interpret=resolve_interpret(cfg.interpret), ib=cfg.batched_ib,
     )
     if mode == "r":
         return out[:, :n, :n]

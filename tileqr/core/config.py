@@ -70,6 +70,12 @@ class QRConfig:
 
     nb: int = 256
     ib: int = 128
+    # Inner blocking for the batched grouped kernel (drivers/batched.py) —
+    # a separate knob because its measured optimum (32: 24.9 ms at the
+    # config-4 shape) differs from the square path's (128: block boundaries
+    # amortize differently over (G, ib, m) stacks; g=16/ib=128 additionally
+    # crashes the Mosaic compiler, BASELINE.md r2 batched sweep).
+    batched_ib: int = 32
     chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"

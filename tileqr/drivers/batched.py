@@ -296,16 +296,21 @@ def select_group(batch: int, cap: int = 16) -> int:
     return group
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "precision", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "precision", "interpret", "ib")
+)
 def qr_batched(
     a: jnp.ndarray,
     mode: str = "reduced",
     precision: str = "highest",
     interpret: bool | None = None,
+    ib: int = 32,
 ):
     """Batched QR of (B, m, n) single-tile matrices (m <= 512 recommended).
 
     mode: "reduced" → (Q (B, m, n), R (B, n, n)); "r" → R only.
+    ib: inner reflector-block width (QRConfig.batched_ib; measured optimum
+    32 at the config-4 shape, BASELINE.md r2 batched sweep).
     """
     prec = resolve_precision(precision)
     b, m, n = a.shape
@@ -327,7 +332,7 @@ def qr_batched(
         # consume the kernel's TRANSPOSED-layout outputs directly: R and Q
         # form via layout-aware contractions, skipping two full-batch
         # un-transpose passes (256 MB each at the config-4 shape)
-        pt, tt_ = _geqrt_batched_grouped_t(a, group, 32, precision, interp)
+        pt, tt_ = _geqrt_batched_grouped_t(a, group, ib, precision, interp)
         r = jax.vmap(triu)(jnp.matrix_transpose(pt[:, :, :n]))
         if mode == "r":
             return r
@@ -348,7 +353,7 @@ def qr_batched(
         q = -ee("bjr,bjc->brc", vt, x) + eye_mn()[None]
         return q, r
 
-    packed, t = geqrt_batched_vec(a, precision=precision)
+    packed, t = geqrt_batched_vec(a, ib=ib, precision=precision)
     r = jax.vmap(lambda p: triu(p[:n, :]))(packed)
     if mode == "r":
         return r

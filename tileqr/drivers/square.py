@@ -167,6 +167,12 @@ def apply_q_tiled(
     assert not (triangular and trans), "triangular window applies to Q·C only"
 
     def one_panel(cm, k):
+        if triangular and k * nb >= _p:
+            # reduced-ncols orgqr: the growing window starts right of C's
+            # last column — the panel is an exact no-op on the eye-structured
+            # C (same argument as the window itself), and slicing would pass
+            # a zero-width strip / negative column count downstream
+            return cm
         n_head, base, nc = _segments(k, mt, c)
         v_stack, t2h, v_chunks, t2t = panels[k]
         cs = k if triangular else 0  # first column tile this panel touches

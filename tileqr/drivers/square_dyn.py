@@ -376,8 +376,12 @@ def apply_q_tiled_dyn(
                 c * nb, nb, True, False, prec, interpret,
             )
         else:
-            cs = k if triangular else 0
-            ptk = pt - cs
+            # clamp: panels with k >= pt (reduced-ncols orgqr) must yield a
+            # provably non-negative dynamic grid — zero-trip grids pass
+            # through the aliased buffers, but a NEGATIVE grid size on
+            # compiled Mosaic is unspecified behavior
+            cs = jnp.minimum(k, pt) if triangular else 0
+            ptk = jnp.maximum(pt - cs, 0)
             cm, strip = _couple_strip_dyn(
                 f.v_chunks, f.t2_chunks, cm, strip, cb, align // c, nch, cs, ptk,
                 c * nb, nb, False, True, prec, interpret,

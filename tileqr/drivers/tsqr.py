@@ -296,13 +296,24 @@ def tsqr_apply_q(
     precision: str = "highest",
     interpret: bool | None = None,
 ):
-    """C ← Qᵀ C (trans) or Q C for the TSQR Q. c: (M, P)."""
+    """C ← Qᵀ C (trans) or Q C for the TSQR Q.
+
+    c: (Mc, P) with Mc <= f.shape[0] — ``api.tsqr(mode="factor")`` pads M up
+    to a multiple of the auto-selected ``f.leaf_rows`` (up to 4096 rows, a
+    much larger granule than nb), so external callers pass c in the ORIGINAL
+    row count and the padding/slicing happens here: the pad rows correspond
+    to zero rows of the factored input, whose reflector rows are exactly
+    zero, so Qᵀ/Q act as the identity on them.
+    """
     del interpret  # replay is pure XLA matmuls
     prec = resolve_precision(precision)
     m, n = f.shape
     lr = f.leaf_rows
     p = m // lr
-    _, pcols = c.shape
+    mc, pcols = c.shape
+    if mc > m:
+        raise ValueError(f"c rows {mc} > factored M {m}")
+    c = jnp.pad(c, ((0, m - mc), (0, 0)))
     plan = f.plan
 
     cb = c.reshape(p, lr, pcols)
@@ -331,7 +342,7 @@ def tsqr_apply_q(
             tops = level_apply(tops, level, pk, tl, False)
         cb = cb.at[:, :n, :].set(tops)
         cb = jax.vmap(leaf_apply)(f.packed_leaves.reshape(p, lr, n), f.t_leaves, cb)
-    return cb.reshape(m, pcols)
+    return cb.reshape(m, pcols)[:mc]
 
 
 def tsqr_form_q(
