@@ -325,6 +325,20 @@ def test_prescale_float64(rng):
     assert np.linalg.norm(d) / np.linalg.norm(a / 1e200) < 1e-12
 
 
+def test_qr_precision_b3(rng):
+    """precision="b3" (manual bf16x3 fp32-emulated update matmuls): lands
+    between "default" (~1e-2) and "highest" (~1e-7) — the 2-way bf16 split
+    carries ~16 mantissa bits, measured ~1e-5 at 8192² on TPU
+    (BASELINE.md r3). Both drivers accept the mode."""
+    a = rng.standard_normal((192, 192)).astype(np.float32)
+    for driver in ("static", "dynamic"):
+        q, r = tileqr.qr(a, config=QRConfig(nb=64, precision="b3", driver=driver))
+        q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+        rel = np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a)
+        assert 1e-8 < rel < 1e-4, rel
+        assert np.linalg.norm(q64.T @ q64 - np.eye(192)) < 1e-2
+
+
 def test_qr_bfloat16(rng):
     """bf16 end-to-end QR: kernels are dtype-generic with fp32 accumulation
     — backward error lands at bf16 resolution (~1e-2), documented capability

@@ -29,9 +29,16 @@ class QRConfig:
         in-loop rank-1 width, so fewer/wider blocks win (measured 7.79 ms vs
         9.46 ms at 4096², ib=128 vs 64).
       dtype: compute dtype (fp32 is the acceptance dtype).
-      precision: jax.lax matmul precision used *inside* kernels. "highest"
-        (bf16x6 passes on v5e MXU) keeps fp32-accurate trailing updates;
-        "default" trades accuracy for speed.
+      precision: matmul precision used *inside* kernels. "highest" (bf16x6
+        passes on v5e MXU) keeps fp32-accurate trailing updates — the
+        acceptance default (relerr ~3e-7 at 8192²). "b3" is the manual
+        bf16x3 fp32 emulation (kernels/common.py: hi/lo split, 3 native
+        bf16 MXU passes — Mosaic does not lower Precision.HIGH in-kernel):
+        measured 1.33× end-to-end at 8192² (35.4 vs 47.1 ms) at relerr
+        ~1e-5 — a 2-way bf16 split carries ~16 mantissa bits, so this mode
+        does NOT meet the ≤1e-6 acceptance gate (BASELINE.md r3); the
+        panel kernels keep their internal HIGHEST either way. "default"
+        (single bf16 pass, relerr ~1e-2) is for experiments only.
       interpret: run Pallas kernels in interpreter mode. ``None`` means
         auto: interpret on non-TPU backends (so the whole test suite runs
         on CPU), compiled Mosaic on TPU.
