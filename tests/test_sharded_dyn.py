@@ -1,0 +1,128 @@
+"""Bounded-compile dynamic sharded driver (VERDICT r2 next-#1): the same
+tile algebra as drivers/sharded.py through O(1) dynamic-grid kernels, on the
+8-virtual-device CPU mesh. Depth coverage: k_max >= 16 with M != N
+(block-cyclic remainders at depth — VERDICT r2 weak-#8)."""
+
+import jax
+import numpy as np
+import pytest
+
+import tileqr
+from tileqr import QRConfig
+from tileqr.drivers.sharded import apply_q_sharded, assemble_r_sharded, qr_sharded
+from tileqr.drivers.sharded_dyn import (
+    ShardedDynFactors,
+    apply_q_sharded_dyn,
+    assemble_r_sharded_dyn,
+    qr_sharded_factor_dyn,
+)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_8
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [
+        (4, 2),
+        pytest.param((1, 8), marks=pytest.mark.slow),
+        pytest.param((2, 2), marks=pytest.mark.slow),
+    ],
+)
+def test_dyn_matches_static_sharded(rng, mesh_shape):
+    """Same kernels, same couple order, same tree as the static sharded
+    driver ⇒ same R (bitwise up to XLA width-dependent fusion in the
+    full-width strip tree; gated tight)."""
+    from tileqr.drivers.sharded import qr_sharded_factor
+
+    mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=mesh_shape)
+    a = rng.standard_normal((96, 64)).astype(np.float32)
+    f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
+    r_dyn = np.asarray(assemble_r_sharded_dyn(f, mesh))
+    r_st = np.asarray(assemble_r_sharded(qr_sharded_factor(a, mesh=mesh, config=cfg)))
+    assert np.abs(r_dyn - r_st).max() <= 5e-6 * np.abs(r_st).max()
+
+
+@needs_8
+def test_dyn_deep_rectangular(rng):
+    """k_max = 16, M != N: every mesh row owns multiple panels and the
+    block-cyclic remainder handling is exercised at depth."""
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=(4, 2))
+    m, n = 160, 128  # mt=20, nt=16 -> k_max=16, lmt=5, lnt=8
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
+    r = np.asarray(assemble_r_sharded_dyn(f, mesh), np.float64)
+    qta = np.asarray(
+        apply_q_sharded_dyn(f, a, mesh=mesh, trans=True, config=cfg), np.float64
+    )
+    assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 2e-6
+    _, r_np = np.linalg.qr(a.astype(np.float64))
+    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r[:n]))
+    s[s == 0] = 1
+    assert np.linalg.norm(r[:n] * s[:, None] - r_np) / np.linalg.norm(r_np) < 5e-5
+
+
+@needs_8
+@pytest.mark.slow
+def test_dyn_q_formation_and_roundtrip(rng):
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8)
+    m, n = 96, 64
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
+    r = np.asarray(assemble_r_sharded_dyn(f, mesh), np.float64)
+    q = np.asarray(
+        apply_q_sharded_dyn(f, np.eye(m, dtype=np.float32), mesh=mesh,
+                            trans=False, config=cfg),
+        np.float64,
+    )
+    assert np.linalg.norm(q @ r - a) / np.linalg.norm(a) < 2e-6
+    assert np.linalg.norm(q.T @ q - np.eye(m)) < 1e-4
+
+
+@needs_8
+def test_dyn_device_native_jit_end_to_end(rng):
+    """VERDICT r2 next-#5: factor → apply → assemble composes under ONE jit
+    with no device_get in the driver path; outputs are device arrays."""
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+
+    @jax.jit
+    def go(a):
+        f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
+        r = assemble_r_sharded_dyn(f, mesh)
+        qta = apply_q_sharded_dyn(f, a, mesh=mesh, trans=True, config=cfg)
+        return r, qta
+
+    r, qta = go(a)
+    assert isinstance(r, jax.Array) and isinstance(qta, jax.Array)
+    rel = np.linalg.norm(np.asarray(qta, np.float64) - np.asarray(r, np.float64))
+    assert rel / np.linalg.norm(a) < 2e-6
+
+
+@needs_8
+def test_dyn_deterministic(rng):
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    r1 = np.asarray(assemble_r_sharded_dyn(qr_sharded_factor_dyn(a, mesh, cfg), mesh))
+    r2 = np.asarray(assemble_r_sharded_dyn(qr_sharded_factor_dyn(a, mesh, cfg), mesh))
+    assert (r1 == r2).all()
+
+
+@needs_8
+def test_qr_sharded_auto_routes_dynamic(rng):
+    """QRConfig.driver drives the sharded path too: "dynamic" must return
+    flat-buffer factors and agree with the oracle."""
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=(4, 2), driver="dynamic")
+    a = rng.standard_normal((80, 64)).astype(np.float32)
+    f = qr_sharded(a, config=cfg, mode="factor")
+    assert isinstance(f, ShardedDynFactors)
+    r = np.asarray(assemble_r_sharded(f), np.float64)
+    qta = np.asarray(apply_q_sharded(f, a, trans=True, config=cfg), np.float64)
+    assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 2e-6

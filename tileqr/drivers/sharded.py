@@ -233,12 +233,18 @@ def qr_sharded_factor(
     )
 
 
-def assemble_r_sharded(f: ShardedQRFactors):
+def assemble_r_sharded(f):
     """Gather + unpack the sharded factors into the (M-orig, N-orig) R.
 
-    Host-side (device_get): the gathered global matrix is an output artifact,
-    not a compute operand, and XLA cannot globally reshape a sharded array.
+    Dynamic-driver factors (ShardedDynFactors) assemble DEVICE-NATIVE under
+    jit; static factors use a host-side device_get (the trace-unrolled
+    driver's panels pytree is host-bound anyway).
     """
+    from tileqr.drivers.sharded_dyn import ShardedDynFactors, assemble_r_sharded_dyn
+
+    if isinstance(f, ShardedDynFactors):
+        return assemble_r_sharded_dyn(f)
+
     import numpy as np
 
     mt, nt, pr, pc = f.grid
@@ -259,7 +265,7 @@ def assemble_r_sharded(f: ShardedQRFactors):
 
 
 def apply_q_sharded(
-    f: ShardedQRFactors,
+    f,
     c: jnp.ndarray,
     mesh: Optional[Mesh] = None,
     trans: bool = True,
@@ -267,6 +273,10 @@ def apply_q_sharded(
 ):
     """C ← Qᵀ C (trans) or Q C with the distributed factors — replays the
     factor phases (local chain + row tree) on C's row windows. c: (M, P)."""
+    from tileqr.drivers.sharded_dyn import ShardedDynFactors, apply_q_sharded_dyn
+
+    if isinstance(f, ShardedDynFactors):
+        return apply_q_sharded_dyn(f, c, mesh=mesh, trans=trans, config=config)
     cfg = config if config is not None else QRConfig(nb=f.nb)
     nb = f.nb
     mt, nt, pr, pc = f.grid
@@ -377,9 +387,23 @@ def qr_sharded(
 ):
     """2D block-cyclic sharded QR (BASELINE.json:11 config).
 
-    mode "r" → R (M, N); "factor" → ShardedQRFactors.
+    mode "r" → R (M, N); "factor" → ShardedQRFactors/ShardedDynFactors.
+
+    Driver selection rides QRConfig.driver exactly like the square path:
+    "static" trace-unrolls the panel loop inside shard_map (compile cost
+    grows superlinearly with panel count), "dynamic" uses the O(1)-kernel
+    fori_loop driver (drivers/sharded_dyn.py), "auto" switches to dynamic
+    past AUTO_STATIC_MAX_PANELS panels — so the BASELINE.json:11 contract
+    size (128 panels) compiles in seconds instead of not at all.
     """
-    f = qr_sharded_factor(a, mesh, config)
+    cfg = config if config is not None else QRConfig()
+    m, n = a.shape
+    if cfg.resolve_driver(m, n) == "dynamic":
+        from tileqr.drivers.sharded_dyn import qr_sharded_factor_dyn
+
+        f = qr_sharded_factor_dyn(a, mesh, cfg)
+    else:
+        f = qr_sharded_factor(a, mesh, cfg)
     if mode == "factor":
         return f
     if mode == "r":

@@ -94,6 +94,11 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _ix(*xs):
+    """int32 index tuple (python 0s otherwise promote to i64 under x64)."""
+    return tuple(jnp.asarray(x, jnp.int32) for x in xs)
+
+
 def _slot_bases(lmt: int, pr: int, k_max: int):
     """Static flat-buffer slot offsets: panel k owns nrows(k) = lmt+1-k//pr
     slots (its maximal window: all remaining local tile rows + >=1 dummy)."""
@@ -237,7 +242,9 @@ def qr_sharded_factor_dyn(
     lm_pad, ln_pad = local.shape[2], local.shape[3]
 
     bases, total_slots = _slot_bases(lmt, pr, k_max)
-    n_lvl = len(_tree_perms(pr, 0))
+    # >=1 level slot even when pr == 1 (no tree): zero-size outputs break
+    # shard_map's sharding override; the unused slot stays zero
+    n_lvl = max(len(_tree_perms(pr, 0)), 1)
 
     def body(loc):
         loc = loc[0, 0]
@@ -257,6 +264,7 @@ def qr_sharded_factor_dyn(
         strip_branches = _mk_strip_tree_branches(pr, r, True, prec)
 
         def panel(k, carry):
+            k = jnp.asarray(k, jnp.int32)  # x64 mode makes fori indices i64
             loc, r_diag, v_flat, tg_all, t2_flat, tree_v2, tree_t2 = carry
             r_k, c_k = k % pr, k % pc
             lik = k // pr
@@ -272,7 +280,7 @@ def qr_sharded_factor_dyn(
             # 1. panel-column broadcast along 'cols' (masked psum of the
             # FULL local column; rows above the window are never read)
             pcol_own = jax.lax.dynamic_slice(
-                loc, (jnp.int32(0), (k // pc) * nb), (lm_pad, nb)
+                loc, _ix(0, (k // pc) * nb), (lm_pad, nb)
             )
             pcol = jax.lax.psum(pcol_own * (c == c_k).astype(dt), "cols")
 
@@ -285,10 +293,10 @@ def qr_sharded_factor_dyn(
             if pr > 1:
                 rcur, tv, tt = jax.lax.switch(r_k, tree_branches, r_loc)
                 tree_v2 = jax.lax.dynamic_update_slice(
-                    tree_v2, tv[None], (k, 0, 0, 0)
+                    tree_v2, tv[None], _ix(k, 0, 0, 0)
                 )
                 tree_t2 = jax.lax.dynamic_update_slice(
-                    tree_t2, tt[None], (k, 0, 0, 0)
+                    tree_t2, tt[None], _ix(k, 0, 0, 0)
                 )
             else:
                 rcur = r_loc
@@ -296,16 +304,16 @@ def qr_sharded_factor_dyn(
 
             root_mask = ((r == r_k) & (c == c_k)).astype(dt)
             rk_tile = jax.lax.psum(rcur * root_mask, ("rows", "cols"))
-            r_diag = jax.lax.dynamic_update_slice(r_diag, rk_tile[None], (k, 0, 0))
-            tg_all = jax.lax.dynamic_update_slice(tg_all, tg_k[None], (k, 0, 0))
+            r_diag = jax.lax.dynamic_update_slice(r_diag, rk_tile[None], _ix(k, 0, 0))
+            tg_all = jax.lax.dynamic_update_slice(tg_all, tg_k[None], _ix(k, 0, 0))
 
             # 4. local trailing update on the full-width row strip + 5. the
             # strip TTMQR tree (full-width: columns left of the window are
             # stale sub-diagonal storage, never read again — see module doc)
             strip = jax.lax.dynamic_slice(
-                loc, (ls_blk * nb, jnp.int32(0)), (nb, ln_pad)
+                loc, _ix(ls_blk * nb, 0), (nb, ln_pad)
             )
-            vkk = jax.lax.dynamic_slice(v_flat, (vb, 0, 0), (1, nb, nb))[0]
+            vkk = jax.lax.dynamic_slice(v_flat, _ix(vb, 0, 0), (1, nb, nb))[0]
             strip = _larfb_strip_dyn(
                 vkk, tg_k, strip, ljs_blk, wcols, nb, True, prec, interpret
             )
@@ -315,7 +323,7 @@ def qr_sharded_factor_dyn(
             )
             if pr > 1:
                 strip = jax.lax.switch(r_k, strip_branches, (strip, tv, tt))
-            loc = jax.lax.dynamic_update_slice(loc, strip, (ls_blk * nb, jnp.int32(0)))
+            loc = jax.lax.dynamic_update_slice(loc, strip, _ix(ls_blk * nb, 0))
 
             return loc, r_diag, v_flat, tg_all, t2_flat, tree_v2, tree_t2
 
@@ -341,13 +349,36 @@ def qr_sharded_factor_dyn(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "grid", "shape"))
-def _assemble_r_dyn_jit(local, r_diag, nb: int, grid, shape):
+@functools.partial(jax.jit, static_argnames=("nb", "rows", "cols", "mesh"))
+def _unpack_local_jit(t, nb: int, rows: int, cols: int, mesh):
+    """Device-native block-cyclic → global unpack. The tile interleave is
+    not expressible as a reshape of a GSPMD-sharded array (it would split
+    and merge sharded axes), so the gather + unpack runs INSIDE shard_map
+    where values are plain per-device arrays: two all_gathers replicate the
+    (rows × cols tiles) payload, then the unpack is a local transpose.
+    t: (pr, pc, lm, ln) sharded; rows/cols: real tile extents (dummy pads
+    dropped before the gather)."""
+
+    def body(tb):
+        x = tb[0, 0, : rows * nb, : cols * nb]
+        xc = jax.lax.all_gather(x, "cols")  # (pc, rows·nb, cols·nb)
+        xrc = jax.lax.all_gather(xc, "rows")  # (pr, pc, …)
+        return _from_local_layout(xrc, nb)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("rows", "cols"),),
+        out_specs=P(),
+        check_vma=False,
+    )(t)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "grid", "shape", "mesh"))
+def _assemble_r_dyn_jit(local, r_diag, nb: int, grid, shape, mesh):
     mt, nt, pr, pc = grid
-    lmt, lnt = mt // pr, nt // pc
     k_max = min(mt, nt)
-    loc = local[:, :, : lmt * nb, : lnt * nb]  # drop dummy pads
-    full = _from_local_layout(loc, nb)
+    full = _unpack_local_jit(local, nb, mt // pr, nt // pc, mesh)
     r = jnp.triu(full)
     rt = r.reshape(mt, nb, nt, nb)
     idx = jnp.arange(k_max)
@@ -356,11 +387,13 @@ def _assemble_r_dyn_jit(local, r_diag, nb: int, grid, shape):
     return rt.reshape(mt * nb, nt * nb)[:m, :n]
 
 
-def assemble_r_sharded_dyn(f: ShardedDynFactors):
-    """R (M, N) as a DEVICE array: the block-cyclic unpack is a pure-jnp
-    reshape/transpose under jit (XLA inserts the reshard collectives) — no
-    host gather in the path (VERDICT r2 next-#5)."""
-    return _assemble_r_dyn_jit(f.local, f.r_diag, f.nb, f.grid, f.shape)
+def assemble_r_sharded_dyn(f: ShardedDynFactors, mesh: Optional[Mesh] = None):
+    """R (M, N) as a DEVICE array computed under jit — no host gather in the
+    path (VERDICT r2 next-#5)."""
+    mt, nt, pr, pc = f.grid
+    if mesh is None:
+        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+    return _assemble_r_dyn_jit(f.local, f.r_diag, f.nb, f.grid, f.shape, mesh)
 
 
 def apply_q_sharded_dyn(
@@ -404,6 +437,7 @@ def apply_q_sharded_dyn(
         strip_branches = _mk_strip_tree_branches(pr, r, trans, prec)
 
         def one_panel(i, cm):
+            i = jnp.asarray(i, jnp.int32)  # x64 mode makes fori indices i64
             k = i if trans else (k_max - 1 - i)
             r_k = k % pr
             lik = k // pr
@@ -411,17 +445,17 @@ def apply_q_sharded_dyn(
             skip_r = (r < r_k).astype(jnp.int32)
             ls_blk = lik + skip_r
             vb = base_tab[k]
-            vkk = jax.lax.dynamic_slice(v_flat, (vb, 0, 0), (1, nb, nb))[0]
-            tg_k = jax.lax.dynamic_slice(tg_all, (k, 0, 0), (1, nb, nb))[0]
+            vkk = jax.lax.dynamic_slice(v_flat, _ix(vb, 0, 0), (1, nb, nb))[0]
+            tg_k = jax.lax.dynamic_slice(tg_all, _ix(k, 0, 0), (1, nb, nb))[0]
             tv = jax.lax.dynamic_slice(
-                tree_v2, (k, 0, 0, 0), (1,) + tree_v2.shape[1:]
+                tree_v2, _ix(k, 0, 0, 0), (1,) + tree_v2.shape[1:]
             )[0]
             tt = jax.lax.dynamic_slice(
-                tree_t2, (k, 0, 0, 0), (1,) + tree_t2.shape[1:]
+                tree_t2, _ix(k, 0, 0, 0), (1,) + tree_t2.shape[1:]
             )[0]
 
             strip = jax.lax.dynamic_slice(
-                cm, (ls_blk * nb, jnp.int32(0)), (nb, lp)
+                cm, _ix(ls_blk * nb, 0), (nb, lp)
             )
             if trans:
                 strip = _larfb_strip_dyn(
@@ -444,7 +478,7 @@ def apply_q_sharded_dyn(
                     vkk, tg_k, strip, 0, lpt, nb, False, prec, interpret
                 )
             return jax.lax.dynamic_update_slice(
-                cm, strip, (ls_blk * nb, jnp.int32(0))
+                cm, strip, _ix(ls_blk * nb, 0)
             )
 
         return jax.lax.fori_loop(0, k_max, one_panel, cloc)[None, None]
@@ -458,5 +492,5 @@ def apply_q_sharded_dyn(
         check_vma=False,
     )(cl, f.v_flat, f.tg_all, f.t2_flat, f.tree_v2, f.tree_t2)
 
-    out = _from_local_layout(cl_out[:, :, : lmt * nb, :], nb)
+    out = _unpack_local_jit(cl_out, nb, lmt, lpt, mesh)
     return out[:mc, :p]
