@@ -2,8 +2,14 @@
 """Benchmark entry (driver contract): prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline metric (BASELINE.json:2): tiled-QR fp32 TFLOP/s at N=8192 on one
-chip, vs_baseline = speedup over jnp.linalg.qr on the same device/dtype.
+Headline metric (VERDICT r2 next-#3: the driver-captured artifact must show
+the north-star number): tiled-QR fp32 TFLOP/s at N=16384 on one chip — the
+BASELINE.json:5 gate config (≥70% of the ~29 TFLOP/s fp32-HIGHEST matmul
+ceiling). vs_baseline = speedup over jnp.linalg.qr on the same device/dtype.
+The 16384² static executable is served from the in-repo compile cache
+(.jax_cache); if the cache were cold this build would take ~45 min, so a
+TILEQR_BENCH_N=8192 override keeps the r1/r2 continuity row cheap to
+reproduce.
 
 Timing methodology (BASELINE.md notes + measured here): this environment's
 TPU is behind an RPC tunnel with a ~30 ms per-dispatch sync floor and an
@@ -33,12 +39,16 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tileqr.drivers.square import qr_tiled  # noqa: E402
+from tileqr.drivers.square_dyn import _qr_tiled_dyn_jit  # noqa: E402
 
-N = int(os.environ.get("TILEQR_BENCH_N", "8192"))
+N = int(os.environ.get("TILEQR_BENCH_N", "16384"))
 NB = int(os.environ.get("TILEQR_BENCH_NB", "256"))
 CHUNK = int(os.environ.get("TILEQR_BENCH_CHUNK", "4"))
 PRECISION = os.environ.get("TILEQR_BENCH_PRECISION", "highest")
 CHAIN = int(os.environ.get("TILEQR_BENCH_CHAIN", "3"))
+# "static" (trace-unrolled, fastest steady-state, needs the compile cache at
+# 16384²) or "dynamic" (O(1)-kernel driver, compiles in seconds at any size)
+DRIVER = os.environ.get("TILEQR_BENCH_DRIVER", "static")
 
 
 def qr_flops(m, n):
@@ -71,11 +81,16 @@ def main():
         np.random.default_rng(0).standard_normal((N, N)).astype(np.float32)
     )
 
+    def step(x):
+        if DRIVER == "dynamic":
+            return _qr_tiled_dyn_jit(x, NB, 128, CHUNK, PRECISION, not on_tpu)[0]
+        return qr_tiled(x, NB, chunk=CHUNK, precision=PRECISION, interpret=not on_tpu)[0]
+
     def make_ours(k):
         @jax.jit
         def f(x):
             for _ in range(k):
-                x = qr_tiled(x, NB, chunk=CHUNK, precision=PRECISION, interpret=not on_tpu)[0]
+                x = step(x)
             return x
 
         return f
@@ -96,7 +111,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, chunk={CHUNK}, {PRECISION})",
+                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, chunk={CHUNK}, {PRECISION}, {DRIVER})",
                 "value": round(tflops, 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(t_base / t_ours, 3),
