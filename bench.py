@@ -77,9 +77,13 @@ def per_iter_time(make_chain, x, k):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    a = jnp.asarray(
-        np.random.default_rng(0).standard_normal((N, N)).astype(np.float32)
-    )
+    # generate ON DEVICE: the TPU tunnel's host→device bandwidth varies from
+    # 23 MB/s down to ~2 MB/s (measured r3) — a 1 GiB host transfer can cost
+    # 8 minutes, none of it the benchmark's business
+    a = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (N, N), jnp.float32)
+    )()
+    sync(a)
 
     def step(x):
         if DRIVER == "dynamic":

@@ -252,6 +252,25 @@ def qr_batched(
     b, m, n = a.shape
     mp, np_ = round_up(m, 8), round_up(n, 8)
     ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, np_ - n)))
+    if cfg.batched_method == "cholqr2":
+        # column padding would make the gram singular — pad rows only (the
+        # gram/POTRF shapes are (n, n) and need no lane rounding beyond 8)
+        from tileqr.drivers.batched import select_group
+        from tileqr.drivers.cholqr import cholqr2_batched
+
+        if m < n:
+            raise ValueError("cholqr2 requires m >= n")
+        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, 0)))
+        out = cholqr2_batched(
+            ap, mode=mode, group=select_group(b), precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        if mode == "r":
+            return out
+        q, r = out
+        return q[:, :m, :], r
+    if cfg.batched_method != "hh":
+        raise ValueError(f"unknown batched_method {cfg.batched_method!r}")
     out = _qr_batched(
         ap, mode=mode, precision=cfg.precision,
         interpret=resolve_interpret(cfg.interpret), ib=cfg.batched_ib,

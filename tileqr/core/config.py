@@ -83,6 +83,13 @@ class QRConfig:
     # amortize differently over (G, ib, m) stacks; g=16/ib=128 additionally
     # crashes the Mosaic compiler, BASELINE.md r2 batched sweep).
     batched_ib: int = 32
+    # Batched-path algorithm: "hh" = grouped Householder GEQRT kernels
+    # (unconditionally stable); "cholqr2" = batched CholeskyQR2
+    # (drivers/cholqr.py: one grouped Pallas POTRF + matmul-only inverse and
+    # orthogonality correction — the MXU-friendly path, but requires
+    # cond(A)²·eps < 1, i.e. cond ≲ 1e3 in fp32). See BASELINE.md r3 for
+    # the measured comparison at the config-4 shape.
+    batched_method: str = "hh"
     chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"

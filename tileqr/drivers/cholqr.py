@@ -1,0 +1,232 @@
+"""Batched CholeskyQR2 (VERDICT r2 next-#6: the TPU-native answer to XLA's
+loop-lowered `jnp.linalg.cholesky`/`triangular_solve`, which killed the r2
+CholeskyQR attempt at 317 ms + NaNs).
+
+Pipeline for a (B, m, n) batch (config 4: 4096 × 128², BASELINE.json:10):
+
+  1. G = AᵀA              — batched MXU gram (HIGHEST).
+  2. R1 = potrf(G)        — THE one serial kernel: a grouped Pallas blocked
+     right-looking Cholesky. The unblocked-panel variant factors bp rows at
+     a time over FULL lanes, so the panel TRSM is free (each row is scaled
+     at its own step and rank-1-updated by the steps before it — diag
+     factorization and triangular solve in one sweep), and the trailing
+     SYRK is one masked MXU contraction per block. The trailing matrix is
+     kept SYMMETRIC (the rank-1 update is applied to both mirror halves) so
+     the per-step "column of factors" is a lane-masked extract instead of a
+     transpose.
+  3. S1 ≈ R1⁻¹            — log-doubling triangular inverse: R = D(I+N)
+     with N strictly upper ⇒ (I+N)⁻¹ = Π (I + (−N)^(2^i)), 2·log2(n)
+     batched matmuls, NO serial substitution. DEFAULT precision: S1 only
+     needs to make Q1 well-conditioned, not accurate.
+  4. Q1 = A·S1            — DEFAULT-precision matmul.
+  5. Orthogonality correction (replaces CholeskyQR2's SECOND Cholesky with
+     matmuls): G2 = Q1ᵀQ1 = I + E with ‖E‖ small; the Cholesky factor of
+     I + E is I + U with U = up(E − UᵀU) (up = strict upper + half diag),
+     iterated to quadratic convergence — masked HIGHEST matmuls only. Then
+     Q = Q1·(I+U)⁻¹ via the truncated Neumann series (‖U‖ ≪ 1).
+  6. R = triu(Qᵀ A)       — one HIGHEST matmul. This decouples the final
+     residual from every inverse above: ‖A − QR‖ = ‖(I − QQᵀ)A − Q·low(QᵀA)‖
+     is governed by Q's orthogonality alone, which step 5 pins at fp32.
+
+Caveat (documented CholeskyQR territory): step 2 requires cond(A)² · eps to
+be comfortably < 1 (cond(A) ≲ 1e3 in fp32). The acceptance batch (random
+Gaussian 128²) is far inside that region; ill-conditioned batches should
+use the Householder path (`method="hh"`), which is unconditionally stable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tileqr.kernels.common import acc_type, resolve_interpret, resolve_precision
+
+
+def _bdot(x, y, contract, precision, dt):
+    out = jax.lax.dot_general(
+        x, y, dimension_numbers=(contract, ((0,), (0,))),
+        precision=precision, preferred_element_type=acc_type(dt),
+    )
+    return out.astype(dt)
+
+
+def _mk_potrf_kernel(bp: int, precision):
+    def kernel(g_ref, r_ref):
+        _, g, n, _n2 = g_ref.shape
+        dt = g_ref.dtype
+        zero = jnp.zeros((), dt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+        r_ref[0] = g_ref[0]
+
+        for s in range(0, n, bp):
+            e = min(s + bp, n)
+            bpe = e - s
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpe, n), 2)
+            sub_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpe, 1), 1)
+
+            def row_step(jj, _, s=s, e=e, lane_b=lane_b, sub_b=sub_b):
+                j = s + jj
+                slab = r_ref[0, :, s:e, :]  # (G, bp, n) symmetric trailing
+                # column of factors (mirror symmetry: lane j == row j)
+                colv = jnp.sum(
+                    jnp.where(lane_b == j, slab, zero), axis=2, keepdims=True
+                )  # (G, bp, 1) = trailing[s+i, j]
+                rowv = jnp.sum(
+                    jnp.where(sub_b == jj, slab, zero), axis=1, keepdims=True
+                )  # (G, 1, n) = trailing[j, :]
+                d2 = jnp.sum(
+                    jnp.where(lane == j, rowv, zero), axis=2, keepdims=True
+                )  # (G, 1, 1)
+                rinv = jax.lax.rsqrt(jnp.maximum(d2, jnp.asarray(1e-30, dt)))
+                row_scaled = rowv * rinv  # final R row j on lanes >= j
+                # rank-1 trailing update on rows > j (both mirror halves)
+                upd = (colv * rinv) * row_scaled
+                new = jnp.where(
+                    (sub_b > jj) & (lane_b > j), slab - upd, slab
+                )
+                # write final row j (zeros left of the diagonal)
+                new = jnp.where(
+                    sub_b == jj,
+                    jnp.where(lane_b >= j, row_scaled, zero),
+                    new,
+                )
+                r_ref[0, :, s:e, :] = new
+                return 0
+
+            jax.lax.fori_loop(0, bpe, row_step, 0, unroll=False)
+
+            if e < n:
+                # SYRK: trailing[e:, e:] -= R12ᵀ R12 (one MXU contraction;
+                # R12 = block rows, lanes >= e). Mirror halves both updated
+                # via the symmetric mask.
+                r12 = jnp.where(lane_b >= e, r_ref[0, :, s:e, :], zero)
+                r12t = jnp.swapaxes(r12, 1, 2)  # (G, n, bp)
+                upd = _bdot(r12t, r12, ((2,), (1,)), precision, dt)  # (G,n,n)
+                sub_f = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+                lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+                r_ref[0] = jnp.where(
+                    (sub_f >= e) & (lane_f >= e), r_ref[0] - upd, r_ref[0]
+                )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bp", "precision", "interpret")
+)
+def potrf_batched(
+    g_mat, group: int = 16, bp: int = 16,
+    precision: str = "highest", interpret: bool | None = None,
+):
+    """Batched upper Cholesky: g_mat (B, n, n) SPD → R (B, n, n) upper with
+    RᵀR = G. Grouped Pallas kernel; ``group`` matrices per grid step."""
+    interpret = resolve_interpret(interpret)
+    b, n, _ = g_mat.shape
+    if b % group:
+        raise ValueError(f"batch {b} not divisible by group {group}")
+    dt = g_mat.dtype
+    ng = b // group
+    prec = resolve_precision(precision)
+    r = pl.pallas_call(
+        _mk_potrf_kernel(bp, prec),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, group, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_shape=jax.ShapeDtypeStruct((ng, group, n, n), dt),
+        out_specs=pl.BlockSpec((1, group, n, n), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g_mat.reshape(ng, group, n, n))
+    return r.reshape(b, n, n)
+
+
+def _triu_inv_doubling(r, precision):
+    """Batched upper-triangular inverse, matmul-only: R = D(I+N), N strictly
+    upper nilpotent ⇒ (I+N)⁻¹ = Π_{i} (I + X^{2^i}) with X = −N (geometric-
+    series factorization), then column-scale by D⁻¹. ~2·log2(n) matmuls."""
+    b, n, _ = r.shape
+    dt = r.dtype
+    idx = jnp.arange(n)
+    d = r[:, idx, idx]  # (B, n)
+    dinv = 1.0 / d
+    eye = jnp.eye(n, dtype=dt)
+    nmat = r * dinv[:, :, None] - eye  # strictly upper
+    x = -nmat
+    out = eye + x
+    p = x
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(1, steps):
+        p = _bdot(p, p, ((2,), (1,)), precision, dt)
+        out = out + _bdot(out, p, ((2,), (1,)), precision, dt)
+    return out * dinv[:, None, :]
+
+
+def _up_half(e):
+    """up(E): strict upper + half diagonal (the triangular 'half' of a
+    symmetric perturbation)."""
+    n = e.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    return jnp.where(
+        rows < cols, e, jnp.where(rows == cols, e * 0.5, jnp.zeros_like(e))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "group", "bp", "precision", "interpret",
+                     "correction_iters"),
+)
+def cholqr2_batched(
+    a,
+    mode: str = "reduced",
+    group: int = 16,
+    bp: int = 16,
+    precision: str = "highest",
+    interpret: bool | None = None,
+    correction_iters: int = 2,
+):
+    """Batched CholeskyQR2: a (B, m, n), m >= n → (Q (B, m, n), R (B, n, n))
+    or R only (mode="r"). See module docstring for the pipeline and the
+    conditioning caveat."""
+    interp = resolve_interpret(interpret)
+    b, m, n = a.shape
+    dt = a.dtype
+    hi = resolve_precision(precision)
+    lo = jax.lax.Precision.DEFAULT
+    eye = jnp.eye(n, dtype=dt)
+
+    at_dims = ((1,), (1,))  # contract row dim of both -> AᵀA
+    g = _bdot(a, a, at_dims, hi, dt)  # (B, n, n) gram
+    r1 = potrf_batched(g, group=group, bp=bp, precision=precision,
+                       interpret=interp)
+    s1 = _triu_inv_doubling(r1, lo)
+    q1 = _bdot(a, s1, ((2,), (1,)), lo, dt)
+
+    # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
+    e = _bdot(q1, q1, at_dims, hi, dt) - eye
+    u = _up_half(e)
+    for _ in range(correction_iters):
+        utu = _bdot(jnp.swapaxes(u, 1, 2), u, ((2,), (1,)), hi, dt)
+        u = _up_half(e - utu)
+    # Q = Q1 (I+U)^{-1} ≈ Q1 (I - U + U² - U³) — Horner, ‖U‖ ≪ 1
+    w = eye - u
+    w = eye - _bdot(u, w, ((2,), (1,)), hi, dt)
+    w = eye - _bdot(u, w, ((2,), (1,)), hi, dt)
+    q = _bdot(q1, w, ((2,), (1,)), hi, dt)
+
+    # final R from the corrected Q: residual rides Q's orthogonality only
+    r = _bdot(q, a, ((1,), (1,)), hi, dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    r = jnp.where(rows <= cols, r, jnp.zeros_like(r))
+    if mode == "r":
+        return r
+    return q, r
