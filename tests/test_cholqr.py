@@ -86,6 +86,24 @@ def test_qr_batched_cholqr2_api(rng):
     np.testing.assert_allclose(rr, r64)
 
 
+def test_tsqr_cholqr2_strategy(rng):
+    """tsqr(strategy="cholqr2"): tall-skinny R via one gram + POTRF — no
+    Householder column loops (BASELINE.md r3)."""
+    a = rng.standard_normal((1024, 48)).astype(np.float32)
+    r = np.asarray(tileqr.tsqr(a, mode="r", strategy="cholqr2"), np.float64)
+    _, r_np = np.linalg.qr(a.astype(np.float64))
+    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r))
+    s[s == 0] = 1
+    assert np.linalg.norm(r * s[:, None] - r_np) / np.linalg.norm(r_np) < 1e-6
+    q, rr = tileqr.tsqr(a, mode="reduced", strategy="cholqr2")
+    q = np.asarray(q, np.float64)
+    rr = np.asarray(rr, np.float64)
+    assert np.linalg.norm(q @ rr - a) / np.linalg.norm(a) < 1e-6
+    assert np.linalg.norm(q.T @ q - np.eye(48)) < 5e-6
+    with pytest.raises(ValueError, match="factor"):
+        tileqr.tsqr(a, mode="factor", strategy="cholqr2")
+
+
 def test_qr_batched_bad_method():
     with pytest.raises(ValueError, match="batched_method"):
         tileqr.qr_batched(

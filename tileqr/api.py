@@ -197,6 +197,12 @@ def tsqr(
         VMEM-budget-sized leaves and arity-8 levels.
       "chain": route through the chunked square driver (one wide panel,
         R carried in VMEM across chunk couples).
+      "cholqr2": CholeskyQR2 (drivers/cholqr.py, B=1): R via ONE gram
+        reduction + batched POTRF + matmul-only correction — no Householder
+        column loops at all, and the gram is the maximally
+        communication-avoiding cross-chip reduction (a single psum).
+        Fastest R-path on one chip (BASELINE.md r3) but requires
+        cond(A) ≲ 1e3 in fp32; no "factor" mode (Q is formed, not applied).
       "auto": chain on compiled TPU (115.1 ms vs the tree's 230.5 ms at
         1048576×512, BASELINE.md — the chain's single carried-R pipeline
         still wins on one chip; the tree is the cross-chip reduction and
@@ -204,8 +210,28 @@ def tsqr(
         tree covered by the CPU suite).
     """
     cfg = _cfg(config)
-    if strategy not in ("auto", "tree", "chain"):
-        raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain)")
+    if strategy not in ("auto", "tree", "chain", "cholqr2"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain/cholqr2)")
+    if strategy == "cholqr2":
+        from tileqr.drivers.cholqr import cholqr2_batched
+
+        if mode == "factor":
+            raise ValueError(
+                'tsqr(strategy="cholqr2") has no "factor" mode; use "tree"'
+            )
+        a = jnp.asarray(a, dtype=cfg.dtype)
+        m, n = a.shape
+        out = cholqr2_batched(
+            a[None], mode=mode if mode != "reduced" else "reduced",
+            group=1, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        if mode == "r":
+            return out[0]
+        if mode == "reduced":
+            q, r = out
+            return q[0], r[0]
+        raise ValueError(f"unknown mode {mode!r}")
     if strategy == "chain" and mode == "factor":
         # the chain path has no TSQRFactors representation — silently
         # returning tree factors would hand the caller a different object
