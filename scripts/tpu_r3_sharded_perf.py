@@ -34,12 +34,12 @@ def flops(n):
     return 2 * n * n * (n - n / 3)
 
 
-rng = np.random.default_rng(0)
 mesh = jax.make_mesh((1, 1), ("rows", "cols"))
 cfg = QRConfig(nb=256, ib=128, mesh_shape=(1, 1))
 
 for N in [2048, 4096]:
-    a = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
+    a = jax.jit(lambda N=N: jax.random.normal(jax.random.PRNGKey(0), (N, N), jnp.float32))()
+    sync(a)
 
     sh = jax.jit(lambda x: qr_sharded_factor_dyn(x, mesh=mesh, config=cfg).r_diag)
     t0 = time.perf_counter(); sync(sh(a))

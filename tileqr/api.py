@@ -221,17 +221,16 @@ def tsqr(
             )
         a = jnp.asarray(a, dtype=cfg.dtype)
         m, n = a.shape
+        if mode not in ("r", "reduced"):
+            raise ValueError(f"unknown mode {mode!r}")
         out = cholqr2_batched(
-            a[None], mode=mode if mode != "reduced" else "reduced",
-            group=1, precision=cfg.precision,
+            a[None], mode=mode, group=1, precision=cfg.precision,
             interpret=resolve_interpret(cfg.interpret),
         )
         if mode == "r":
             return out[0]
-        if mode == "reduced":
-            q, r = out
-            return q[0], r[0]
-        raise ValueError(f"unknown mode {mode!r}")
+        q, r = out
+        return q[0], r[0]
     if strategy == "chain" and mode == "factor":
         # the chain path has no TSQRFactors representation — silently
         # returning tree factors would hand the caller a different object

@@ -130,15 +130,22 @@ def bench_tsqr(m, cols, nb, chain):
     }
 
 
-def bench_batched(batch, cols, chain, check=False):
-    """Measures the production qr_batched path (the grouped kernel — the
-    per-matrix-grid geqrt_batched is ~6.8x slower and not what ships)."""
-    from tileqr.drivers.batched import qr_batched
+def bench_batched(batch, cols, chain, check=False, method="hh"):
+    """Measures the production qr_batched path: method="hh" (grouped
+    Householder kernel — the per-matrix-grid geqrt_batched is ~6.8x slower
+    and not what ships) or "cholqr2" (drivers/cholqr.py)."""
+    from tileqr.drivers.batched import qr_batched as _hh
+    from tileqr.drivers.cholqr import cholqr2_batched
 
     on_tpu = jax.default_backend() == "tpu"
     a = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, cols, cols)).astype(np.float32)
     )
+
+    def qr_batched(x, interpret=None):
+        if method == "cholqr2":
+            return cholqr2_batched(x, interpret=interpret)
+        return _hh(x, interpret=interpret)
 
     def make(k):
         @jax.jit
@@ -156,9 +163,11 @@ def bench_batched(batch, cols, chain, check=False):
 
     group = select_group(batch)
     t = per_iter(make, a, chain)
+    kern = ("cholqr2" if method == "cholqr2"
+            else (f"grouped(g={group})" if group > 1 else "vec"))
     rec = {
         "bench": "qr_batched",
-        "kernel": f"grouped(g={group})" if group > 1 else "vec",
+        "kernel": kern,
         "batch": batch, "n": cols,
         "ms": round(t * 1e3, 6),
         "tflops": round(batch * qr_flops(cols, cols) / t / 1e12, 9),
@@ -187,6 +196,7 @@ def main():
     ap.add_argument("--chain", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--check", action="store_true", help="also compute relerr")
+    ap.add_argument("--batched-method", default="hh", choices=["hh", "cholqr2"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (interpret-mode kernels); the "
                     "JAX_PLATFORMS env var is overridden by this image's TPU plugin")
@@ -207,7 +217,7 @@ def main():
             for nb in [int(x) for x in args.nbs.split(",")]:
                 print(json.dumps(bench_tsqr(n, args.cols, nb, args.chain)), flush=True)
         elif args.mode == "batched":
-            print(json.dumps(bench_batched(args.batch, args.cols, args.chain, args.check)), flush=True)
+            print(json.dumps(bench_batched(args.batch, args.cols, args.chain, args.check, args.batched_method)), flush=True)
 
 
 if __name__ == "__main__":

@@ -147,25 +147,95 @@ def potrf_batched(
     return r.reshape(b, n, n)
 
 
-def _triu_inv_doubling(r, precision):
-    """Batched upper-triangular inverse, matmul-only: R = D(I+N), N strictly
-    upper nilpotent ⇒ (I+N)⁻¹ = Π_{i} (I + X^{2^i}) with X = −N (geometric-
-    series factorization), then column-scale by D⁻¹. ~2·log2(n) matmuls."""
+def _chol_leaf_xla(g, precision):
+    """Serial right-looking Cholesky on a small (B, l, l) leaf, statically
+    unrolled: l steps of rsqrt + scaled-row extract + batched rank-1. Pure
+    XLA — the batch dimension gives every step MXU/VPU-scale width."""
+    b, l, _ = g.shape
+    dt = g.dtype
+    lanes = jnp.arange(l)
+    rows = []
+    for j in range(l):
+        d = jax.lax.rsqrt(jnp.maximum(g[:, j, j], jnp.asarray(1e-30, dt)))
+        row = g[:, j, :] * d[:, None]
+        row = jnp.where(lanes >= j, row, jnp.zeros_like(row))
+        rows.append(row)
+        if j + 1 < l:
+            g = g - row[:, None, :] * row[:, :, None]
+    return jnp.stack(rows, axis=1)
+
+
+def potrf_batched_xla(g_mat, leaf: int = 16, precision="highest"):
+    """Batched upper Cholesky, pure XLA (no Pallas): binary recursion
+    chol(G) = [R11, R11⁻ᵀG12; 0, chol(G22 − R12ᵀR12)] down to a
+    ``leaf``-wide serial base case; the triangular solve uses the
+    log-doubling inverse (matmuls only). Measured 6× faster than the
+    grouped Pallas serial kernel at the config-4 shape (BASELINE.md r3):
+    the per-column masked extract/update ops are op-issue-latency-bound in
+    a kernel, while XLA fuses the batched leaf steps.
+
+    n must be a multiple of ``leaf`` times a power of two (the config-4
+    n = 128 = 16·8 is); other sizes fall back to one serial leaf."""
+    prec = resolve_precision(precision) if isinstance(precision, str) else precision
+    b, n, _ = g_mat.shape
+    dt = g_mat.dtype
+
+    def chol(g):
+        k = g.shape[-1]
+        if k <= leaf or k % 2:
+            return _chol_leaf_xla(g, prec)
+        h = k // 2
+        r11 = chol(g[:, :h, :h])
+        r11_inv = _triu_inv_doubling(r11, prec)
+        # R12 = R11⁻ᵀ G12 (contract the row index of R11⁻¹)
+        r12 = _bdot(r11_inv, g[:, :h, h:], ((1,), (1,)), prec, dt)
+        g22 = g[:, h:, h:] - _bdot(r12, r12, ((1,), (1,)), prec, dt)
+        r22 = chol(g22)
+        top = jnp.concatenate([r11, r12], axis=2)
+        bot = jnp.concatenate([jnp.zeros_like(r12).transpose(0, 2, 1), r22], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+    return chol(g_mat)
+
+
+def _diag_of(r):
+    """(B, n) diagonal via masked reduce — `r[:, idx, idx]` lowers to a TPU
+    gather that costs more than ALL the inverse's matmuls combined
+    (measured 30 ms vs ~7 ms of matmuls at config 4, BASELINE.md r3)."""
+    n = r.shape[-1]
+    eye = jnp.eye(n, dtype=r.dtype)
+    return jnp.sum(r * eye, axis=2)
+
+
+def _inv_factors(r, precision):
+    """R = D(I+N) with N strictly upper nilpotent: yields (dinv, [X, X²,
+    X⁴, …]) such that R⁻¹ = (I+X)(I+X²)(I+X⁴)… D⁻¹ with X = −N (the
+    geometric-series factorization Σ X^k = Π (I + X^(2^i)))."""
     b, n, _ = r.shape
     dt = r.dtype
-    idx = jnp.arange(n)
-    d = r[:, idx, idx]  # (B, n)
-    dinv = 1.0 / d
+    dinv = 1.0 / _diag_of(r)
     eye = jnp.eye(n, dtype=dt)
-    nmat = r * dinv[:, :, None] - eye  # strictly upper
-    x = -nmat
-    out = eye + x
-    p = x
-    steps = max(1, (n - 1).bit_length())
-    for _ in range(1, steps):
-        p = _bdot(p, p, ((2,), (1,)), precision, dt)
-        out = out + _bdot(out, p, ((2,), (1,)), precision, dt)
-    return out * dinv[:, None, :]
+    x = eye - r * dinv[:, :, None]  # = −N, strictly upper
+    pows = [x]
+    for _ in range(1, max(1, (n - 1).bit_length())):
+        pows.append(_bdot(pows[-1], pows[-1], ((2,), (1,)), precision, dt))
+    return dinv, pows
+
+
+def _apply_rinv(c, dinv, pows, precision):
+    """C ← C R⁻¹ without materializing R⁻¹: fold the doubling factors in as
+    (((C(I+X))(I+X²))…)·D⁻¹ — log2(n) (B, m, n)@(B, n, n) matmuls."""
+    dt = c.dtype
+    for p in pows:
+        c = c + _bdot(c, p, ((2,), (1,)), precision, dt)
+    return c * dinv[:, None, :]
+
+
+def _triu_inv_doubling(r, precision):
+    """Batched upper-triangular inverse, matmul-only (see _inv_factors)."""
+    dinv, pows = _inv_factors(r, precision)
+    eye = jnp.eye(r.shape[-1], dtype=r.dtype)
+    return _apply_rinv(jnp.broadcast_to(eye, r.shape), dinv, pows, precision)
 
 
 def _up_half(e):
@@ -182,7 +252,7 @@ def _up_half(e):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "group", "bp", "precision", "interpret",
-                     "correction_iters"),
+                     "correction_iters", "potrf_impl"),
 )
 def cholqr2_batched(
     a,
@@ -192,10 +262,13 @@ def cholqr2_batched(
     precision: str = "highest",
     interpret: bool | None = None,
     correction_iters: int = 2,
+    potrf_impl: str = "pallas",
 ):
     """Batched CholeskyQR2: a (B, m, n), m >= n → (Q (B, m, n), R (B, n, n))
     or R only (mode="r"). See module docstring for the pipeline and the
-    conditioning caveat."""
+    conditioning caveat. potrf_impl: "pallas" (grouped serial kernel,
+    11.2 ms chained at config 4 — the measured default) or "xla"
+    (recursive blocked; more small-op chain overhead, 21.6 ms)."""
     interp = resolve_interpret(interpret)
     b, m, n = a.shape
     dt = a.dtype
@@ -205,10 +278,15 @@ def cholqr2_batched(
 
     at_dims = ((1,), (1,))  # contract row dim of both -> AᵀA
     g = _bdot(a, a, at_dims, hi, dt)  # (B, n, n) gram
-    r1 = potrf_batched(g, group=group, bp=bp, precision=precision,
-                       interpret=interp)
-    s1 = _triu_inv_doubling(r1, lo)
-    q1 = _bdot(a, s1, ((2,), (1,)), lo, dt)
+    if potrf_impl == "xla":
+        r1 = potrf_batched_xla(g, precision=precision)
+    else:
+        r1 = potrf_batched(g, group=group, bp=bp, precision=precision,
+                           interpret=interp)
+    # Q1 = A R1⁻¹ with the inverse's doubling factors folded in directly —
+    # never materializing R1⁻¹ (halves the inverse-phase matmul count)
+    dinv, pows = _inv_factors(r1, lo)
+    q1 = _apply_rinv(a, dinv, pows, lo)
 
     # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
     e = _bdot(q1, q1, at_dims, hi, dt) - eye
