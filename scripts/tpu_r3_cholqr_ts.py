@@ -36,10 +36,28 @@ sync(fq(a))
 t = min(run_once(fq, a) for _ in range(3))
 print(f"cholqr2 reduced {M}x{N}: {t*1e3:.1f} ms", flush=True)
 
-# accuracy vs numpy on a column slice (full f64 oracle too big on host? 2GiB f32 -> fine)
-r = np.asarray(cholqr2_batched(a[None], mode="r", group=1, bp=16)[0], np.float64)
-qv, rv = cholqr2_batched(a[None], mode="reduced", group=1, bp=16)
-q64 = np.asarray(qv[0], np.float64)
-a64 = np.asarray(a, np.float64)
-print(f"recon relerr: {np.linalg.norm(a64 - q64 @ np.asarray(rv[0], np.float64)) / np.linalg.norm(a64):.2e}", flush=True)
-print(f"orth: {np.linalg.norm(q64.T @ q64 - np.eye(N)):.2e}", flush=True)
+# chained timing too (subtract the ~31 ms dispatch floor properly):
+def mk(k):
+    @jax.jit
+    def f(x):
+        for _ in range(k):
+            x = cholqr2_batched(x[None], mode="reduced", group=1, bp=16)[0][0]
+        return x
+    return f
+fk, f1 = mk(3), mk(1)
+sync(fk(a)); sync(f1(a))
+tk = min(run_once(fk, a) for _ in range(3))
+t1 = min(run_once(f1, a) for _ in range(3))
+print(f"cholqr2 reduced CHAINED per-iter: {(tk-t1)/2*1e3:.1f} ms", flush=True)
+
+# accuracy computed ON DEVICE (a 2 GiB host gather takes ~15 min through
+# this tunnel); scalars only cross to host
+@jax.jit
+def acc(x):
+    q, r = cholqr2_batched(x[None], mode="reduced", group=1, bp=16)
+    q, r = q[0], r[0]
+    res = jnp.linalg.norm(x - q @ r) / jnp.linalg.norm(x)
+    orth = jnp.linalg.norm(q.T @ q - jnp.eye(N, dtype=q.dtype))
+    return res, orth
+res, orth = acc(a)
+print(f"recon relerr: {float(res):.2e}  orth: {float(orth):.2e}", flush=True)
