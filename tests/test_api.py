@@ -237,6 +237,7 @@ def test_prescale_near_fp32_max(rng):
     assert relerr(q64 @ r64, a) < 3e-6
 
 
+@pytest.mark.slow
 def test_qr_shape_fuzz(rng):
     """Padding/edge fuzz: random (m, n, nb, chunk) combos through the public
     qr + residual gate — guards the pad/slice layer against shape rot."""

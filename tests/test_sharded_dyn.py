@@ -38,9 +38,10 @@ def test_dyn_matches_static_sharded(rng, mesh_shape):
     from tileqr.drivers.sharded import qr_sharded_factor
 
     mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
-    # chunk=1 reproduces the static driver's per-tile couple order
+    # chunk=1 reproduces the static driver's per-tile couple order; small
+    # shape keeps BOTH drivers' interpret runs inside the fast-suite budget
     cfg = QRConfig(nb=8, ib=8, chunk=1, mesh_shape=mesh_shape)
-    a = rng.standard_normal((96, 64)).astype(np.float32)
+    a = rng.standard_normal((64, 48)).astype(np.float32)
     f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
     r_dyn = np.asarray(assemble_r_sharded_dyn(f, mesh))
     r_st = np.asarray(assemble_r_sharded(qr_sharded_factor(a, mesh=mesh, config=cfg)))

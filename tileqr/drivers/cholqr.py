@@ -283,10 +283,19 @@ def cholqr2_batched(
     else:
         r1 = potrf_batched(g, group=group, bp=bp, precision=precision,
                            interpret=interp)
-    # Q1 = A R1⁻¹ with the inverse's doubling factors folded in directly —
-    # never materializing R1⁻¹ (halves the inverse-phase matmul count)
-    dinv, pows = _inv_factors(r1, lo)
-    q1 = _apply_rinv(a, dinv, pows, lo)
+    # Q1 = A R1⁻¹. Shape-dependent strategy: folding the doubling factors
+    # into A (_apply_rinv) saves the inverse-build matmuls when m ≈ n, but
+    # for TALL a it is log2(n) full passes over the big matrix — both slow
+    # (9 × HBM at 1048576×512) and accuracy-compounding under DEFAULT
+    # precision (measured relerr 1.8e-3 vs 2e-7, BASELINE.md r3). Tall
+    # shapes build S1 = R1⁻¹ explicitly (small n×n matmuls at HIGHEST) and
+    # touch A exactly once.
+    if m > 2 * n:
+        s1 = _triu_inv_doubling(r1, hi)
+        q1 = _bdot(a, s1, ((2,), (1,)), lo, dt)
+    else:
+        dinv, pows = _inv_factors(r1, lo)
+        q1 = _apply_rinv(a, dinv, pows, lo)
 
     # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
     e = _bdot(q1, q1, at_dims, hi, dt) - eye
