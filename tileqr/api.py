@@ -93,7 +93,7 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     if cfg.resolve_driver(m, n) == "dynamic":
         a_out, df = qr_tiled_dyn(
             ap, cfg.nb, ib=cfg.ib, chunk=cfg.chunk, precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
+            interpret=resolve_interpret(cfg.interpret), donate=cfg.donate,
         )
         return QRFactors(
             a_out, df.r_diag, df.t_geqrt, df, cfg.nb, df.chunk, (m, n), scale

@@ -97,6 +97,11 @@ class QRConfig:
     mesh_shape: Tuple[int, int] = (4, 2)
     driver: str = "auto"
     prescale: bool = False
+    # Donate the (padded) input buffer to the dynamic-driver factorization:
+    # required at 32768² fp32 on one chip (factors + carry ~11.5 GiB; the
+    # 4 GiB input must be released). Invalidates the caller's array when
+    # padding was a no-op; off by default.
+    donate: bool = False
 
     # static-driver panel-count ceiling for driver="auto" (32 panels ≈
     # 8192² at nb=256 — compile stays in low minutes and is cached)

@@ -241,20 +241,24 @@ def qr_tiled_dyn(
     chunk: int = 4,
     precision: str = "highest",
     interpret: bool = False,
+    donate: bool = False,
 ):
     """Factor A (M, N; multiples of nb). Same tile algebra as qr_tiled but
-    with an O(1)-kernel fori_loop driver. Returns (a, DynFactors)."""
+    with an O(1)-kernel fori_loop driver. Returns (a, DynFactors).
+
+    donate=True invalidates the caller's A and lets XLA reuse its buffer —
+    required at 32768² fp32 on one v5e chip, where factors + carry are
+    ~11.5 GiB and holding the 4 GiB input alongside exceeds HBM
+    (BASELINE.md r2 dynamic-driver scale notes)."""
     m, n = a.shape
-    out = _qr_tiled_dyn_jit(a, nb, ib, chunk, precision, interpret)
+    f = _qr_tiled_dyn_jit_donated if donate else _qr_tiled_dyn_jit
+    out = f(a, nb, ib, chunk, precision, interpret)
     a_out, r_diag, tg_all, vh, t2h, vch, t2ch = out
     c = _chunk_for(m // nb, chunk)
     return a_out, DynFactors(r_diag, tg_all, vh, t2h, vch, t2ch, nb, c, (m, n))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nb", "ib", "chunk", "precision", "interpret")
-)
-def _qr_tiled_dyn_jit(
+def _qr_tiled_dyn_impl(
     a: jnp.ndarray,
     nb: int,
     ib: int = 128,
@@ -319,6 +323,15 @@ def _qr_tiled_dyn_jit(
     return jax.lax.fori_loop(
         0, k_max, body, (a, r_diag, tg_all, vh, t2h, vch, t2ch)
     )
+
+
+_STATIC = ("nb", "ib", "chunk", "precision", "interpret")
+_qr_tiled_dyn_jit = functools.partial(jax.jit, static_argnames=_STATIC)(
+    _qr_tiled_dyn_impl
+)
+_qr_tiled_dyn_jit_donated = functools.partial(
+    jax.jit, static_argnames=_STATIC, donate_argnums=0
+)(_qr_tiled_dyn_impl)
 
 
 def apply_q_tiled_dyn(
