@@ -281,7 +281,11 @@ def cholqr2_batched(
     if potrf_impl == "xla":
         r1 = potrf_batched_xla(g, precision=precision)
     else:
-        r1 = potrf_batched(g, group=group, bp=bp, precision=precision,
+        # clamp the group to a divisor of the batch (arbitrary B support)
+        ge = min(group, b)
+        while b % ge:
+            ge -= 1
+        r1 = potrf_batched(g, group=ge, bp=bp, precision=precision,
                            interpret=interp)
     # Q1 = A R1⁻¹. Shape-dependent strategy: folding the doubling factors
     # into A (_apply_rinv) saves the inverse-build matmuls when m ≈ n, but
