@@ -165,3 +165,19 @@ def test_cholqr2_batched_on_tpu(rng):
     for i in range(0, 256, 64):
         assert np.linalg.norm(a[i] - q64[i] @ r64[i]) / np.linalg.norm(a[i]) < 1e-6
         assert np.linalg.norm(q64[i].T @ q64[i] - np.eye(128)) < 2e-6
+
+
+def test_precision_b3_on_tpu(rng):
+    """precision="b3" compiled through Mosaic: the manual hi/lo bf16 split
+    must survive in-kernel (the XLA simplifier folds it OUTSIDE Pallas —
+    BASELINE.md r3 footnote), landing between DEFAULT (~1e-2) and HIGHEST
+    (~1e-7) backward error."""
+    import tileqr
+    from tileqr import QRConfig
+
+    a = rng.standard_normal((1024, 1024)).astype(np.float32)
+    q, r = tileqr.qr(a, config=QRConfig(nb=256, driver="dynamic", precision="b3"))
+    q64 = np.asarray(q, np.float64)
+    r64 = np.asarray(r, np.float64)
+    rel = np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a)
+    assert 1e-7 < rel < 1e-4, rel
