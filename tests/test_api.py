@@ -158,6 +158,17 @@ def test_qr_dynamic_driver_matches_static(rng):
     assert relerr(np.asarray(qtb)[:n], r_full) < 3e-6
 
 
+def test_qr_dynamic_donate(rng):
+    """QRConfig(donate=True): the padded input buffer is donated to the
+    dynamic factorization (the 32768²-on-one-chip HBM-fit knob); results
+    are unchanged."""
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    q1, r1 = tileqr.qr(a, config=QRConfig(nb=64, driver="dynamic"))
+    q2, r2 = tileqr.qr(a, config=QRConfig(nb=64, driver="dynamic", donate=True))
+    assert (np.asarray(q1) == np.asarray(q2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
 def test_qr_dynamic_driver_rectangular(rng):
     a = rng.standard_normal((320, 192)).astype(np.float32)
     dyn = QRConfig(nb=64, driver="dynamic")

@@ -287,19 +287,21 @@ def cholqr2_batched(
             ge -= 1
         r1 = potrf_batched(g, group=ge, bp=bp, precision=precision,
                            interpret=interp)
-    # Q1 = A R1⁻¹. Shape-dependent strategy: folding the doubling factors
-    # into A (_apply_rinv) saves the inverse-build matmuls when m ≈ n, but
-    # for TALL a it is log2(n) full passes over the big matrix — both slow
-    # (9 × HBM at 1048576×512) and accuracy-compounding under DEFAULT
-    # precision (measured relerr 1.8e-3 vs 2e-7, BASELINE.md r3). Tall
-    # shapes build S1 = R1⁻¹ explicitly (small n×n matmuls at HIGHEST) and
-    # touch A exactly once.
+    # Q1 = A R1⁻¹ at FULL precision: a single bf16-DEFAULT pass here leaves
+    # a ~2e-3 out-of-span component in Q1 that the orthogonality correction
+    # cannot remove (it rotates within span(Q1)) — measured residual 1.7e-3
+    # on TPU vs 2e-7 with HIGHEST (BASELINE.md r3; invisible on CPU, where
+    # DEFAULT is full fp32). Shape-dependent application: folding the
+    # doubling factors into A saves the inverse-build matmuls when m ≈ n;
+    # TALL a builds S1 = R1⁻¹ explicitly (small n×n matmuls) and touches
+    # the big matrix exactly once.
+    del lo
     if m > 2 * n:
         s1 = _triu_inv_doubling(r1, hi)
-        q1 = _bdot(a, s1, ((2,), (1,)), lo, dt)
+        q1 = _bdot(a, s1, ((2,), (1,)), hi, dt)
     else:
-        dinv, pows = _inv_factors(r1, lo)
-        q1 = _apply_rinv(a, dinv, pows, lo)
+        dinv, pows = _inv_factors(r1, hi)
+        q1 = _apply_rinv(a, dinv, pows, hi)
 
     # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
     e = _bdot(q1, q1, at_dims, hi, dt) - eye
