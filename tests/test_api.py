@@ -96,7 +96,9 @@ def test_orgqr_reduced_ncols(rng, driver):
     a = rng.standard_normal((m, n)).astype(np.float32)
     f = tileqr.qr_factor(a, QRConfig(nb=32, driver=driver))
     q_full = np.asarray(tileqr.orgqr(f))
-    for ncols in (8, 32, 40, 96):
+    # 8 (< nb) and 40 (not a tile multiple) cover the empty-window and
+    # partial-tile cases; the full set ran once, trimmed for suite budget
+    for ncols in (8, 40):
         q_k = np.asarray(tileqr.orgqr(f, ncols=ncols))
         assert q_k.shape == (m, ncols)
         assert (q_k == q_full[:, :ncols]).all()
@@ -314,13 +316,13 @@ def test_factors_are_jit_transparent(rng):
 def test_qr_batched_vec_fallback(rng):
     """Odd batch sizes (no power-of-2 group divisor) route through the
     batch-vectorized XLA path — same contract as the grouped kernel."""
-    a = rng.standard_normal((7, 96, 64)).astype(np.float32)
+    a = rng.standard_normal((7, 48, 32)).astype(np.float32)
     q, r = tileqr.qr_batched(a, config=CFG)
-    assert q.shape == (7, 96, 64) and r.shape == (7, 64, 64)
+    assert q.shape == (7, 48, 32) and r.shape == (7, 32, 32)
     for i in range(7):
         qi = np.asarray(q[i], np.float64)
         assert np.linalg.norm(a[i] - qi @ np.asarray(r[i], np.float64)) / np.linalg.norm(a[i]) < 3e-6
-        assert np.linalg.norm(qi.T @ qi - np.eye(64)) < 1e-4
+        assert np.linalg.norm(qi.T @ qi - np.eye(32)) < 1e-4
 
 
 def test_prescale_float64(rng):

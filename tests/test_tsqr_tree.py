@@ -105,7 +105,7 @@ def test_large_n_tree_path(rng):
 
     from tileqr.drivers.tsqr import auto_leaf_rows, tsqr_factor
 
-    n = 1536
+    n = 1152  # > 1024 (the coverage point) at ~0.4x the interpret cost of 1536
     lr = auto_leaf_rows(4 * n, n)
     a = rng.standard_normal((2 * lr, n)).astype(np.float32)
     # interpret=True: at n=1536 the (n, 2n) scratch exceeds the compiled
