@@ -273,7 +273,6 @@ def cholqr2_batched(
     b, m, n = a.shape
     dt = a.dtype
     hi = resolve_precision(precision)
-    lo = jax.lax.Precision.DEFAULT
     eye = jnp.eye(n, dtype=dt)
 
     at_dims = ((1,), (1,))  # contract row dim of both -> AᵀA
@@ -295,7 +294,6 @@ def cholqr2_batched(
     # doubling factors into A saves the inverse-build matmuls when m ≈ n;
     # TALL a builds S1 = R1⁻¹ explicitly (small n×n matmuls) and touches
     # the big matrix exactly once.
-    del lo
     if m > 2 * n:
         s1 = _triu_inv_doubling(r1, hi)
         q1 = _bdot(a, s1, ((2,), (1,)), hi, dt)
