@@ -1,0 +1,166 @@
+"""CholeskyQR2 + Householder-reconstruction square path
+(QRConfig.square_method="hr", drivers/square_hr.py, kernels/modlu.py).
+
+Same public-API surface as the default Householder path, with the hr
+conditioning contract (cond(A) ≲ 1e3 in fp32): every entry point is
+exercised through tileqr.* with arbitrary (unpadded) shapes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tileqr
+from tileqr import QRConfig
+from tileqr.drivers.square_hr import hr_panel, pad_for_hr, qr_hr
+from tileqr.kernels.modlu import modified_lu
+
+CFG = QRConfig(nb=32, square_method="hr")
+
+
+def relerr(a, b):
+    a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a64 - b64) / np.linalg.norm(b64)
+
+
+def test_modified_lu_identity(rng):
+    """LU resid + pivot bound: Q_top − diag(d) = L1·U with |L| ≤ 1 and
+    U's pivots ≥ 1 (the sign modification d_j = −sign(q_jj) guarantees
+    pivot = |q_jj| + 1 after the preceding eliminations — Ballard et al.)."""
+    q_np, _ = np.linalg.qr(rng.standard_normal((128, 32)))
+    q = jnp.asarray(q_np, jnp.float32)
+    lu, d = modified_lu(q[:32], interpret=True)
+    lu64 = np.asarray(lu, np.float64)
+    l1 = np.tril(lu64, -1) + np.eye(32)
+    u = np.triu(lu64)
+    assert np.linalg.norm(l1 @ u - (np.asarray(q[:32], np.float64) - np.diag(np.asarray(d, np.float64)))) < 1e-5
+    assert np.abs(np.diag(u)).min() >= 0.9  # pivots bounded away from 0
+    assert np.abs(l1).max() <= 1.0 + 1e-6
+    assert set(np.unique(np.asarray(d))) <= {-1.0, 1.0}
+
+
+def test_hr_panel_compact_wy(rng):
+    """One panel: (Y, T) reconstructed from CholeskyQR2's Q satisfies the
+    GEQRT contract — Y unit lower trapezoidal, T upper triangular,
+    (I − Y T Yᵀ)[:, :nb] · R = panel."""
+    p = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+    y, t, r = hr_panel(p, interpret=True)
+    y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
+    assert np.allclose(np.diag(y64[:32]), 1.0, atol=1e-5)
+    assert np.abs(np.triu(y64[:32], 1)).max() < 1e-6
+    assert np.abs(np.tril(t64, -1)).max() < 1e-6
+    qq = np.eye(128) - y64 @ t64 @ y64.T
+    assert np.linalg.norm(qq.T @ qq - np.eye(128)) < 1e-5
+    assert relerr(qq[:, :32] @ np.asarray(r, np.float64), p) < 3e-6
+
+
+@pytest.mark.parametrize("m,n", [(128, 128), (160, 96), (96, 128), (100, 70), (130, 130)])
+def test_qr_hr_reduced(rng, m, n):
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG)
+    k = min(m, n)
+    assert q.shape == (m, k) and r.shape == (k, n)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.linalg.norm(a - q64 @ r64) / np.linalg.norm(a) < 3e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(k)) < 1e-4
+    assert np.abs(r64[np.tril_indices(k, -1)]).max() < 1e-5 * np.abs(r64).max()
+
+
+def test_qr_hr_complete_tall(rng):
+    m, n = 160, 96
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = tileqr.qr(a, mode="complete", config=CFG)
+    assert q.shape == (m, m) and r.shape == (m, n)
+    q64 = np.asarray(q, np.float64)
+    assert relerr(q64 @ np.asarray(r, np.float64), a) < 3e-6
+    assert np.linalg.norm(q64.T @ q64 - np.eye(m)) < 1e-4
+    assert np.abs(np.asarray(r, np.float64)[n:]).max() == 0.0
+
+
+def test_hr_orgqr_reduced_ncols(rng):
+    """ncols < nb exercises the empty-trailing-panel skip; 40 the partial
+    tile. Leading columns match the full Q to fp32 ulps (unlike the hh
+    kernels' per-column-tile grids, the hr path's dense matmuls may block
+    differently for different widths, so bitwise equality is NOT part of
+    this path's contract — rounding-level agreement is)."""
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    f = tileqr.qr_factor(a, CFG)
+    q_full = np.asarray(tileqr.orgqr(f, config=CFG))
+    for ncols in (8, 40):
+        q_k = np.asarray(tileqr.orgqr(f, ncols=ncols, config=CFG))
+        assert q_k.shape == (128, ncols)
+        assert np.abs(q_k - q_full[:, :ncols]).max() < 1e-6
+
+
+def test_hr_apply_q_roundtrip(rng):
+    """Qᵀ(Q c) = c to fp32 accuracy — the apply path in both directions."""
+    m = 160
+    a = rng.standard_normal((m, 96)).astype(np.float32)
+    f = tileqr.qr_factor(a, CFG)
+    c = rng.standard_normal((m, 8)).astype(np.float32)
+    qc = tileqr.apply_q(f, c, config=CFG)
+    back = tileqr.apply_q(f, qc, trans=True, config=CFG)
+    assert relerr(back, c) < 5e-6
+
+
+def test_hr_lstsq(rng):
+    m, n = 200, 64
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal((m, 3)).astype(np.float32)
+    x = np.asarray(tileqr.lstsq(a, b, config=CFG), np.float64)
+    x_np, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64), rcond=None)
+    assert np.linalg.norm(x - x_np) / np.linalg.norm(x_np) < 1e-4
+
+
+def test_hr_matches_hh_r(rng):
+    """R from the hr path = R from the default Householder path up to
+    column signs and fp32 rounding (both factor the same A)."""
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    r_hr = np.asarray(tileqr.qr(a, mode="r", config=CFG), np.float64)
+    r_hh = np.asarray(tileqr.qr(a, mode="r", config=QRConfig(nb=32)), np.float64)
+    s = np.sign(np.diag(r_hr)) * np.sign(np.diag(r_hh))
+    assert np.linalg.norm(r_hr * s[:, None] - r_hh) / np.linalg.norm(r_hh) < 1e-4
+
+
+def test_hr_moderate_conditioning(rng):
+    """cond(A) ≈ 300 — inside the documented cond ≲ 1e3 contract; the
+    gram-squared conditioning must still deliver the 1e-6-class residual."""
+    m = n = 128
+    u, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sv = np.logspace(0, -2.5, min(m, n))
+    a = (u[:, :n] * sv) @ v.astype(np.float64)
+    a = a.astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG)
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 5e-6
+    q64 = np.asarray(q, np.float64)
+    assert np.linalg.norm(q64.T @ q64 - np.eye(n)) < 1e-3
+
+
+def test_hr_deterministic(rng):
+    """Two runs → bitwise-identical factors (fixed reduction order in the
+    gram/POTRF/reconstruction pipeline — the determinism contract)."""
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    q1, r1 = tileqr.qr(a, config=CFG)
+    q2, r2 = tileqr.qr(a, config=CFG)
+    assert (np.asarray(q1) == np.asarray(q2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
+def test_hr_pad_for_hr_identity_block(rng):
+    """Column padding carries the α-identity block: padded columns factor
+    to exact unit reflectors and R's real block is untouched."""
+    a = rng.standard_normal((96, 80)).astype(np.float32)  # 80 → pads to 96
+    ap, (m, n) = pad_for_hr(jnp.asarray(a), 32)
+    assert ap.shape[0] % 32 == 0 and ap.shape[1] % 32 == 0
+    assert np.allclose(np.asarray(ap)[:m, :n], a)
+    r, panels = qr_hr(ap, 32, interpret=True)
+    # real block of R matches the unpadded factorization
+    r_ref = np.linalg.qr(a.astype(np.float64))[1]
+    r64 = np.asarray(r, np.float64)[:n, :n]
+    s = np.sign(np.diag(r_ref)) * np.sign(np.diag(r64))
+    assert np.linalg.norm(r64 * s[:, None] - r_ref) / np.linalg.norm(r_ref) < 2e-5
+
+
+def test_hr_config_validation():
+    with pytest.raises(ValueError):
+        QRConfig(square_method="nope")

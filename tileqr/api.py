@@ -21,6 +21,12 @@ from tileqr.core.config import QRConfig
 from tileqr.core.layout import pad_to_tiles, round_up
 from tileqr.drivers.batched import qr_batched as _qr_batched
 from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
+from tileqr.drivers.square_hr import (
+    apply_q_hr,
+    orgqr_hr,
+    pad_for_hr,
+    qr_hr,
+)
 from tileqr.drivers.square_dyn import (
     DynFactors,
     apply_q_tiled_dyn,
@@ -66,6 +72,25 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class HRFactors(NamedTuple):
+    """Factors from the CholeskyQR2+reconstruction square path
+    (QRConfig.square_method="hr", drivers/square_hr.py): per-panel whole-panel
+    compact-WY pairs (Y_k, T_k) plus the assembled R (padded K × N_pad)."""
+
+    r: jnp.ndarray
+    panels: Tuple  # ((Y_0, T_0), (Y_1, T_1), ...), Y_k: (M_pad − k·nb, nb)
+    nb: int
+    shape: Tuple[int, int]  # original (M, N)
+    scale: object = 1.0  # see QRFactors.scale
+
+
+jax.tree_util.register_pytree_node(
+    HRFactors,
+    lambda f: ((f.r, f.panels, f.scale), (f.nb, f.shape)),
+    lambda aux, ch: HRFactors(ch[0], ch[1], *aux, ch[2]),
+)
+
+
 def _cfg(config: Optional[QRConfig]) -> QRConfig:
     return config if config is not None else QRConfig()
 
@@ -89,6 +114,13 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # true division, NOT multiply-by-reciprocal: 1/2^127 is subnormal
         # and XLA flushes it to zero (caught by test_prescale_near_fp32_max)
         a = a / scale
+    if cfg.square_method == "hr":
+        ap, _ = pad_for_hr(a, cfg.nb)
+        r, panels = qr_hr(
+            ap, cfg.nb, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        return HRFactors(r, panels, cfg.nb, (m, n), scale)
     ap, _ = pad_to_tiles(a, cfg.nb)
     if cfg.resolve_driver(m, n) == "dynamic":
         a_out, df = qr_tiled_dyn(
@@ -110,6 +142,18 @@ def apply_q(
 ) -> jnp.ndarray:
     """C ← Q C (or Qᵀ C). c: (M, P) in the ORIGINAL row dimension."""
     cfg = _cfg(config).replace(nb=f.nb)
+    if isinstance(f, HRFactors):
+        mp = f.panels[0][0].shape[0]
+        c = jnp.asarray(c, dtype=f.r.dtype)
+        mc, p = c.shape
+        if mc != f.shape[0]:
+            raise ValueError(f"c rows {mc} != M {f.shape[0]}")
+        cp = jnp.pad(c, ((0, mp - mc), (0, 0)))
+        out = apply_q_hr(
+            f.panels, cp, f.nb, trans=trans, precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        return out[:mc]
     mp = f.packed.shape[0]
     c = jnp.asarray(c, dtype=f.packed.dtype)
     mc, p = c.shape
@@ -141,6 +185,13 @@ def orgqr(f: QRFactors, ncols: Optional[int] = None, config: Optional[QRConfig] 
     cfg = _cfg(config)
     m, n = f.shape
     k = min(m, n) if ncols is None else ncols
+    if isinstance(f, HRFactors):
+        mp = f.panels[0][0].shape[0]
+        out = orgqr_hr(
+            f.panels, mp, f.nb, max(k, 1), precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret),
+        )
+        return out[:m, :k]
     mp = f.packed.shape[0]
     pp = round_up(max(k, 1), f.nb)
     eye_p = jnp.eye(mp, pp, dtype=f.packed.dtype)
@@ -167,7 +218,12 @@ def qr(
     f = qr_factor(a, cfg)
     m, n = f.shape
     k = min(m, n)
-    r_full = assemble_r(f.packed, f.r_diag, f.nb) * f.scale
+    if isinstance(f, HRFactors):
+        r_full = f.r * f.scale
+        if r_full.shape[0] < m:  # complete mode on tall input needs M rows
+            r_full = jnp.pad(r_full, ((0, m - r_full.shape[0]), (0, 0)))
+    else:
+        r_full = assemble_r(f.packed, f.r_diag, f.nb) * f.scale
     if mode == "r":
         return r_full[:k, :n]
     if mode == "reduced":
@@ -320,6 +376,9 @@ def lstsq(a: jnp.ndarray, b: jnp.ndarray, config: Optional[QRConfig] = None):
         raise ValueError("lstsq requires M >= N")
     f = qr_factor(a, cfg)
     qtb = apply_q(f, bmat, trans=True, config=cfg)[:n]
-    r = assemble_r(f.packed, f.r_diag, f.nb)[:n, :n] * f.scale
+    if isinstance(f, HRFactors):
+        r = f.r[:n, :n] * f.scale
+    else:
+        r = assemble_r(f.packed, f.r_diag, f.nb)[:n, :n] * f.scale
     x = jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
     return x[:, 0] if vec else x

@@ -90,6 +90,13 @@ class QRConfig:
     # cond(A)²·eps < 1, i.e. cond ≲ 1e3 in fp32). See BASELINE.md r3 for
     # the measured comparison at the config-4 shape.
     batched_method: str = "hh"
+    # Square-path panel algorithm: "hh" = tiled Householder panels (the
+    # unconditionally stable default, drivers/square.py / square_dyn.py);
+    # "hr" = CholeskyQR2 panels + Householder reconstruction
+    # (drivers/square_hr.py: matmul-only panels, the serial work shrinks to
+    # one nb×nb modified-LU kernel per panel — the fast path for
+    # well-conditioned matrices, cond(A) ≲ 1e3 in fp32).
+    square_method: str = "hh"
     chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
@@ -124,6 +131,10 @@ class QRConfig:
             object.__setattr__(self, "ib", ib)
         if self.driver not in ("auto", "static", "dynamic"):
             raise ValueError(f"driver={self.driver!r} must be auto|static|dynamic")
+        if self.square_method not in ("hh", "hr"):
+            raise ValueError(
+                f"square_method={self.square_method!r} must be hh|hr"
+            )
 
     def resolve_driver(self, m: int, n: int) -> str:
         """Concrete driver for an (m, n) problem ("auto" → panel-count rule)."""

@@ -1,0 +1,222 @@
+"""Blocked QR with CholeskyQR2 panels + Householder reconstruction
+(``QRConfig.square_method="hr"`` — the matmul-only panel algorithm).
+
+Round-2's measured conclusion (BASELINE.md): the trailing-update kernels run
+at/above the fp32 matmul ceiling, and the whole remaining gap on the square
+path is the latency-bound Householder panel column loop (~250–370 ns/column
+× ~190 columns at 8192²). "The next frontier is a different panel
+algorithm." This driver is that algorithm:
+
+  1. Panel factor:  (Q, R) = CholeskyQR2(panel) — gram + grouped Pallas
+     POTRF + log-doubling inverse + matmul-only orthogonality correction
+     (drivers/cholqr.py). NO per-column work on the tall panel at all.
+  2. Reconstruction: recover the compact-WY form from Q alone
+     (kernels/modlu.py — Ballard/Demmel/Grigori/Knight identity):
+         Q_top − diag(d) = L1·U   (modified LU, the ONLY serial step,
+                                   nb×nb regardless of panel height)
+         L2 = Q_bot·U⁻¹           (one tall matmul)
+         Y  = [L1; L2],  T = −U·diag(d)·L1⁻ᵀ   (small matmuls; triangular
+                                   inverses via the log-doubling identity)
+     giving I − Y·T·Yᵀ orthogonal with (I − Y T Yᵀ)[:, :nb]·(d∘R) = panel.
+  3. Trailing update: C ← C − Y·(Tᵀ·(Yᵀ·C)) — three large MXU matmuls at
+     the configured precision ("highest" for the ≤1e-6 gate; "b3"/"high"
+     trade ~10 bits for bf16x3 speed).
+
+Everything the MXU sees is a big batched matmul; the single serial kernel
+touches nb² elements per panel instead of the Householder loop's m_k·nb.
+
+Conditioning contract (CholeskyQR territory, same as drivers/cholqr.py):
+the first gram/Cholesky requires cond(panel)²·eps ≲ 1, i.e. cond ≲ 1e3 in
+fp32. Trailing panels of a Householder-reduced matrix inherit A's
+conditioning (orthogonal updates preserve singular values of the trailing
+Schur complement), so the practical contract is cond(A) ≲ 1e3; outside it,
+use the default unconditionally-stable Householder path
+(square_method="hh").
+
+Factor layout: per-panel (Y_k, T_k) with Y_k (M_pad − k·nb, nb) unit lower
+trapezoidal and T_k (nb, nb) upper triangular — the LAPACK GEQRT contract
+on whole panels instead of tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tileqr.drivers.cholqr import _triu_inv_doubling, cholqr2_batched
+from tileqr.kernels.common import acc_type, resolve_precision
+from tileqr.kernels.modlu import modified_lu
+
+
+def _dot(a, b, prec, dt):
+    from tileqr.kernels.common import B3, _dot_b3
+
+    if prec == B3 and dt == jnp.float32:
+        return _dot_b3(a, b, (((1,), (0,)), ((), ()))).astype(dt)
+    if prec == B3:
+        prec = jax.lax.Precision.HIGHEST
+    return jnp.dot(a, b, precision=prec, preferred_element_type=acc_type(dt)).astype(dt)
+
+
+def _reconstruct_yt(q, lu, d, dt):
+    """(Y, T) from the panel's orthonormal Q and its top-block modified LU.
+
+    All matmuls pinned HIGHEST: Y/T define the factorization itself (the
+    same argument as cholqr.py's Q1 note — a bf16 pass here pollutes the
+    reflector space with an error the trailing updates cannot remove)."""
+    hi = jax.lax.Precision.HIGHEST
+    nb = lu.shape[0]
+    eye = jnp.eye(nb, dtype=dt)
+    l1 = jnp.tril(lu, -1) + eye
+    u = jnp.triu(lu)
+    # U⁻¹ and L1⁻ᵀ = (L1ᵀ)⁻¹: both upper triangular → log-doubling inverse
+    # (matmul-only; U's pivots are in [1, 2] by the sign modification, so
+    # the inverse is well-conditioned)
+    uinv = _triu_inv_doubling(u[None], hi)[0]
+    l1tinv = _triu_inv_doubling(jnp.transpose(l1)[None], hi)[0]
+    l2 = _dot(q[nb:], uinv, hi, dt)
+    y = jnp.concatenate([l1, l2], axis=0)
+    t = -_dot(u * d[None, :], l1tinv, hi, dt)
+    return y, t
+
+
+def hr_panel(panel, interpret, correction_iters: int = 2):
+    """Factor one (mk, nb) panel: returns (y (mk, nb), t (nb, nb),
+    r (nb, nb) with the reconstruction signs folded in)."""
+    dt = panel.dtype
+    q, r = cholqr2_batched(
+        panel[None], mode="reduced", group=1, precision="highest",
+        interpret=interpret, correction_iters=correction_iters,
+    )
+    q, r = q[0], r[0]
+    lu, d = modified_lu(q[: r.shape[0]], interpret=interpret)
+    y, t = _reconstruct_yt(q, lu, d, dt)
+    return y, t, d[:, None] * r
+
+
+def _apply_block_t(y, t, c, prec, dt, trans: bool):
+    """C ← (I − Y·T·Yᵀ)ᵀ C (trans) or (I − Y·T·Yᵀ) C (no trans)."""
+    w = _dot(jnp.transpose(y), c, prec, dt)
+    tm = jnp.transpose(t) if trans else t
+    w = _dot(tm, w, prec, dt)
+    return c - _dot(y, w, prec, dt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "precision", "interpret")
+)
+def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
+    """Blocked hr QR of a padded (Mp, Np) matrix (both multiples of nb;
+    column padding must be identity-augmented — see pad_for_hr).
+
+    Returns (r (K, Np) with K = min(Mp, Np), panels tuple of (Y_k, T_k))."""
+    mp, npad = ap.shape
+    if mp % nb or npad % nb:
+        raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
+    dt = ap.dtype
+    prec = resolve_precision(precision)
+    k_max = min(mp, npad) // nb
+    trail = ap
+    r_rows = []
+    panels = []
+    for k in range(k_max):
+        y, t, rk = hr_panel(trail[:, :nb], interpret)
+        c = trail[:, nb:]
+        c = _apply_block_t(y, t, c, prec, dt, trans=True)
+        r_rows.append(
+            jnp.concatenate(
+                [jnp.zeros((nb, k * nb), dt), rk, c[:nb]], axis=1
+            )
+        )
+        trail = c[nb:]
+        panels.append((y, t))
+    r = jnp.concatenate(r_rows, axis=0)
+    return r, tuple(panels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "trans", "precision", "interpret")
+)
+def apply_q_hr(
+    panels: Tuple, c, nb: int, trans: bool = False,
+    precision: str = "highest", interpret: bool = False,
+):
+    """C ← Q C (or Qᵀ C) from hr factors. c: (Mp, P), Mp the padded rows."""
+    dt = c.dtype
+    prec = resolve_precision(precision)
+    order = range(len(panels)) if trans else reversed(range(len(panels)))
+    for k in order:
+        y, t = panels[k]
+        s = k * nb
+        cs = _apply_block_t(y, t, c[s:], prec, dt, trans=trans)
+        c = jnp.concatenate([c[:s], cs], axis=0) if s else cs
+    return c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mp", "nb", "ncols", "precision", "interpret")
+)
+def orgqr_hr(
+    panels: Tuple, mp: int, nb: int, ncols: int,
+    precision: str = "highest", interpret: bool = False,
+):
+    """Form Q (Mp × ncols) with the xORGQR growing window: accumulating in
+    reverse panel order, panel k only touches rows/columns ≥ k·nb (columns
+    left of the panel are still exact unit vectors, on which Yᵀe_c = 0), so
+    the working window grows from the last panel's corner instead of
+    carrying the full matrix through every panel."""
+    dt = panels[0][0].dtype
+    prec = resolve_precision(precision)
+    # panels at or beyond ncols are exact no-ops on Q's columns
+    k_used = min(len(panels), -(-ncols // nb))
+    s_last = (k_used - 1) * nb
+    w = jnp.eye(mp - s_last, ncols - s_last, dtype=dt)
+    w = _apply_block_t(*panels[k_used - 1], w, prec, dt, trans=False)
+    for k in reversed(range(k_used - 1)):
+        rows, cols = w.shape
+        w = jnp.block(
+            [
+                [jnp.eye(nb, dtype=dt), jnp.zeros((nb, cols), dt)],
+                [jnp.zeros((rows, nb), dt), w],
+            ]
+        )
+        w = _apply_block_t(*panels[k], w, prec, dt, trans=False)
+    return w
+
+
+def pad_for_hr(a, nb: int):
+    """Pad (M, N) to nb multiples for the hr driver. Zero ROW padding is
+    exact (zero rows contribute nothing to panel grams). Zero COLUMN padding
+    would make the last panel's gram singular, so padded columns carry an
+    α·identity block on otherwise-zero padding rows (α an exact power of two
+    near max|A|): the gram becomes block-diagonal and well-conditioned, the
+    padded columns factor to exact unit reflectors, and R's real block is
+    untouched (later columns never influence earlier panels)."""
+    from tileqr.core.layout import round_up
+
+    m, n = a.shape
+    np_ = round_up(n, nb)
+    col_pad = np_ - n
+    mp = round_up(m + col_pad, nb) if col_pad else round_up(m, nb)
+    ap = jnp.pad(a, ((0, mp - m), (0, col_pad)))
+    if col_pad:
+        amax = jnp.max(jnp.abs(a))
+        alpha = jnp.where(
+            amax > 0,
+            jnp.exp2(
+                jnp.minimum(
+                    jnp.ceil(jnp.log2(jnp.maximum(amax, jnp.finfo(a.dtype).tiny))),
+                    float(jnp.finfo(a.dtype).maxexp - 1),
+                )
+            ),
+            jnp.ones((), a.dtype),
+        ).astype(a.dtype)
+        rows = jnp.arange(mp)[:, None]
+        cols = jnp.arange(np_)[None, :]
+        ap = jnp.where(
+            (cols >= n) & (rows == cols - n + m), alpha, ap
+        )
+    return ap, (m, n)
