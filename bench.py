@@ -40,6 +40,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tileqr.drivers.square import qr_tiled  # noqa: E402
 from tileqr.drivers.square_dyn import _qr_tiled_dyn_jit  # noqa: E402
+from tileqr.drivers.square_hr import qr_hr  # noqa: E402
 
 N = int(os.environ.get("TILEQR_BENCH_N", "16384"))
 NB = int(os.environ.get("TILEQR_BENCH_NB", "256"))
@@ -49,6 +50,10 @@ CHAIN = int(os.environ.get("TILEQR_BENCH_CHAIN", "3"))
 # "static" (trace-unrolled, fastest steady-state, needs the compile cache at
 # 16384²) or "dynamic" (O(1)-kernel driver, compiles in seconds at any size)
 DRIVER = os.environ.get("TILEQR_BENCH_DRIVER", "static")
+# "hh" (tiled Householder, unconditionally stable) or "hr" (CholeskyQR2
+# panels + Householder reconstruction — matmul-only panels, fastest
+# measured square path, cond(A) ≲ 1e3 contract; BASELINE.md r3)
+METHOD = os.environ.get("TILEQR_BENCH_METHOD", "hh")
 
 
 def qr_flops(m, n):
@@ -86,6 +91,10 @@ def main():
     sync(a)
 
     def step(x):
+        if METHOD == "hr":
+            r, _ = qr_hr(x, NB, precision=PRECISION, interpret=not on_tpu)
+            # dependence without changing the input distribution
+            return x + r * jnp.float32(1e-30)
         if DRIVER == "dynamic":
             return _qr_tiled_dyn_jit(x, NB, 128, CHUNK, PRECISION, not on_tpu)[0]
         return qr_tiled(x, NB, chunk=CHUNK, precision=PRECISION, interpret=not on_tpu)[0]
@@ -115,7 +124,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, chunk={CHUNK}, {PRECISION}, {DRIVER})",
+                "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, chunk={CHUNK}, {PRECISION}, "
+                + (f"method={METHOD})" if METHOD != "hh" else f"{DRIVER})"),
                 "value": round(tflops, 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(t_base / t_ours, 3),

@@ -95,8 +95,14 @@ if __name__ == "__main__":
         bench(8192, 256)
         bench(8192, 512, check=True)
         bench(8192, 1024)
+    elif which == "sweep2":
+        bench(4096, 128, check=True)
+        bench(8192, 128, check=True)
+        bench(8192, 256, check=True)
     elif which == "big":
-        bench(16384, 512, check=True, chain_k=2)
+        bench(16384, 256, check=True, chain_k=2)
+    elif which == "big128":
+        bench(16384, 128, check=True, chain_k=2)
     elif which == "b3":
-        bench(8192, 512, precision="b3", check=True)
-        bench(4096, 512, precision="b3", check=True)
+        bench(8192, 256, precision="b3", check=True)
+        bench(16384, 256, precision="b3", check=True, chain_k=2)

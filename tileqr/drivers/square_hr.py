@@ -120,20 +120,21 @@ def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
     prec = resolve_precision(precision)
     k_max = min(mp, npad) // nb
     trail = ap
-    r_rows = []
+    # R rows land in a preallocated buffer via dynamic_update_slice, NOT a
+    # final concat of per-panel slices: the concat form keeps EVERY
+    # trailing-matrix temp alive until the end (each contributes its first
+    # nb rows), Σ(N−k·nb)² ≈ N³/(3nb) bytes — 23 GB at 16384², measured
+    # HBM OOM. With the eager copy-out, only two consecutive trailing
+    # matrices are ever live.
+    r = jnp.zeros((k_max * nb, npad), dt)
     panels = []
     for k in range(k_max):
         y, t, rk = hr_panel(trail[:, :nb], interpret)
-        c = trail[:, nb:]
-        c = _apply_block_t(y, t, c, prec, dt, trans=True)
-        r_rows.append(
-            jnp.concatenate(
-                [jnp.zeros((nb, k * nb), dt), rk, c[:nb]], axis=1
-            )
-        )
+        c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
+        row = jnp.concatenate([rk, c[:nb]], axis=1)
+        r = jax.lax.dynamic_update_slice(r, row, (k * nb, k * nb))
         trail = c[nb:]
         panels.append((y, t))
-    r = jnp.concatenate(r_rows, axis=0)
     return r, tuple(panels)
 
 
