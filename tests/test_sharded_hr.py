@@ -1,0 +1,125 @@
+"""Gram-panel sharded hr driver (drivers/sharded_hr.py) on the
+8-virtual-device CPU mesh: distributed CholeskyQR2 panels + Householder
+reconstruction, one psum per phase, plain fori_loop (no dynamic grids).
+
+Accuracy gates are CholeskyQR2-level (BASELINE.md r3: ~1e-6..1e-7 at these
+sizes for gaussian inputs, cond ≲ 1e3 contract)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tileqr import QRConfig
+from tileqr.drivers.sharded import qr_sharded
+from tileqr.drivers.sharded_hr import (
+    apply_q_sharded_hr,
+    assemble_r_sharded_hr,
+    qr_sharded_factor_hr,
+)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _relerr_vs_numpy_r(a, r):
+    """R-uniqueness check: |R| matches numpy's |R| (sign-canonical)."""
+    rn = np.linalg.qr(a.astype(np.float64), mode="r")
+    k = min(a.shape)
+    return np.abs(np.abs(r[:k]) - np.abs(rn[:k])).max() / np.abs(rn).max()
+
+
+@needs_8
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_hr_sharded_square(rng, mesh_shape):
+    mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=mesh_shape)
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
+    r = np.asarray(assemble_r_sharded_hr(f, mesh))
+    assert r.shape == a.shape
+    assert np.all(np.tril(r, -1) == 0)
+    assert _relerr_vs_numpy_r(a, r) < 5e-5
+
+
+@needs_8
+def test_hr_sharded_rectangular_deep(rng):
+    """k_max = 16 with M != N: block-cyclic remainders at depth, multiple
+    segments exercised (segments=4 over 16 panels)."""
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, mesh_shape=(4, 2))
+    m, n = 160, 128
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg, segments=4)
+    r = np.asarray(assemble_r_sharded_hr(f, mesh))
+    assert r.shape == (m, n)
+    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    # residual through the apply path: Qᵀ A should reproduce [R; 0]
+    qta = np.asarray(apply_q_sharded_hr(f, a, mesh, trans=True, config=cfg))
+    assert np.abs(qta[:n] - r[:n]).max() / np.abs(r).max() < 5e-5
+    assert np.abs(qta[n:]).max() / np.abs(r).max() < 5e-5
+
+
+@needs_8
+def test_hr_sharded_apply_q_roundtrip(rng):
+    """Q (Qᵀ C) = C: the apply path is its own inverse pair."""
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(4, 2))
+    a = rng.standard_normal((96, 64)).astype(np.float32)
+    c = rng.standard_normal((96, 32)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
+    qtc = apply_q_sharded_hr(f, c, mesh, trans=True, config=cfg)
+    back = np.asarray(apply_q_sharded_hr(f, np.asarray(qtc), mesh, trans=False, config=cfg))
+    assert np.abs(back - c).max() < 5e-5 * np.abs(c).max()
+
+
+@needs_8
+def test_hr_sharded_matches_single_device_hr(rng):
+    """Same panel algebra as the single-device hr driver ⇒ same R up to
+    psum-split reduction order (gated tight, not bitwise)."""
+    from tileqr.drivers.square_hr import pad_for_hr, qr_hr
+
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(4, 2))
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
+    r_sh = np.asarray(assemble_r_sharded_hr(f, mesh))
+    ap, (m, n) = pad_for_hr(np.asarray(a), 16)
+    r1, _ = qr_hr(ap, 16, interpret=True)
+    r_single = np.asarray(r1)[: min(ap.shape), : ap.shape[1]][:n, :n]
+    # compare the shared (n, n) R block; reduction-order delta only
+    assert np.abs(np.abs(r_sh[:n, :n]) - np.abs(r_single)).max() <= 2e-5 * np.abs(r_single).max()
+
+
+@needs_8
+def test_hr_sharded_deterministic(rng):
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(4, 2))
+    a = rng.standard_normal((96, 96)).astype(np.float32)
+    r1 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
+    r2 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
+    assert np.array_equal(r1, r2)
+
+
+@needs_8
+def test_hr_sharded_api_routing(rng):
+    """qr_sharded(config=QRConfig(square_method='hr')) routes to the gram
+    driver and returns R directly."""
+    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(4, 2), square_method="hr")
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    r = np.asarray(qr_sharded(a, mesh=mesh, config=cfg))
+    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    f = qr_sharded(a, mesh=mesh, config=cfg, mode="factor")
+    assert type(f).__name__ == "ShardedHRFactors"
+
+
+def test_hr_sharded_1x1_mesh(rng):
+    """pr = pc = 1: all psums are no-ops; the driver degenerates to the
+    single-device hr algorithm."""
+    mesh = jax.make_mesh((1, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(1, 1))
+    a = rng.standard_normal((64, 48)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
+    r = np.asarray(assemble_r_sharded_hr(f, mesh))
+    assert _relerr_vs_numpy_r(a, r) < 5e-5

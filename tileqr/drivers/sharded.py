@@ -398,6 +398,21 @@ def qr_sharded(
     """
     cfg = config if config is not None else QRConfig()
     m, n = a.shape
+    if cfg.square_method == "hr":
+        # gram-panel CholeskyQR2 + Householder reconstruction (one psum per
+        # phase, O(1) compile at any panel count; cond(A) ≲ 1e3 contract —
+        # drivers/sharded_hr.py)
+        from tileqr.drivers.sharded_hr import (
+            assemble_r_sharded_hr,
+            qr_sharded_factor_hr,
+        )
+
+        fh = qr_sharded_factor_hr(a, mesh, cfg)
+        if mode == "factor":
+            return fh
+        if mode == "r":
+            return assemble_r_sharded_hr(fh)
+        raise ValueError(f"unknown mode {mode!r}")
     if cfg.resolve_driver(m, n) == "dynamic":
         from tileqr.drivers.sharded_dyn import qr_sharded_factor_dyn
 

@@ -188,20 +188,24 @@ def orgqr_hr(
     return w
 
 
-def pad_for_hr(a, nb: int):
+def pad_for_hr(a, nb: int, row_mult: int | None = None, col_mult: int | None = None):
     """Pad (M, N) to nb multiples for the hr driver. Zero ROW padding is
     exact (zero rows contribute nothing to panel grams). Zero COLUMN padding
     would make the last panel's gram singular, so padded columns carry an
     α·identity block on otherwise-zero padding rows (α an exact power of two
     near max|A|): the gram becomes block-diagonal and well-conditioned, the
     padded columns factor to exact unit reflectors, and R's real block is
-    untouched (later columns never influence earlier panels)."""
+    untouched (later columns never influence earlier panels).
+
+    row_mult/col_mult override the padding multiples (default nb both) —
+    the sharded hr driver pads to nb·pr / nb·pc so the block-cyclic local
+    matrices are uniform across the mesh."""
     from tileqr.core.layout import round_up
 
     m, n = a.shape
-    np_ = round_up(n, nb)
+    np_ = round_up(n, col_mult or nb)
     col_pad = np_ - n
-    mp = round_up(m + col_pad, nb) if col_pad else round_up(m, nb)
+    mp = round_up(m + col_pad, row_mult or nb) if col_pad else round_up(m, row_mult or nb)
     ap = jnp.pad(a, ((0, mp - m), (0, col_pad)))
     if col_pad:
         amax = jnp.max(jnp.abs(a))
