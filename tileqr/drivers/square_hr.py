@@ -133,7 +133,12 @@ def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
         c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
         row = jnp.concatenate([rk, c[:nb]], axis=1)
         r = jax.lax.dynamic_update_slice(r, row, (k * nb, k * nb))
-        trail = c[nb:]
+        # the barrier pins the R-row copy-out BEFORE panel k+1 starts: the
+        # latency-hiding scheduler otherwise defers all 64 small R updates
+        # to the end, keeping every shrinking trailing temp alive at once —
+        # Σ(N−k·nb)² ≈ N³/(3nb) bytes, a measured compile-time HBM OOM at
+        # 16384² despite the eager dynamic_update_slice form
+        trail, r = jax.lax.optimization_barrier((c[nb:], r))
         panels.append((y, t))
     return r, tuple(panels)
 
