@@ -26,9 +26,9 @@ needs_8 = pytest.mark.skipif(
 @pytest.mark.parametrize(
     "mesh_shape",
     [
-        (4, 2),
+        (2, 2),
+        pytest.param((4, 2), marks=pytest.mark.slow),
         pytest.param((1, 8), marks=pytest.mark.slow),
-        pytest.param((2, 2), marks=pytest.mark.slow),
     ],
 )
 def test_dyn_matches_static_sharded(rng, mesh_shape):
@@ -38,10 +38,13 @@ def test_dyn_matches_static_sharded(rng, mesh_shape):
     from tileqr.drivers.sharded import qr_sharded_factor
 
     mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
-    # chunk=1 reproduces the static driver's per-tile couple order; small
-    # shape keeps BOTH drivers' interpret runs inside the fast-suite budget
+    # chunk=1 reproduces the static driver's per-tile couple order; the
+    # fast-suite case is the smallest mesh with a real tree (pr = 2) — the
+    # static driver's interpret run dominates wall clock, so panel count
+    # and simulated-device count are what this trades down
+    size = (32, 24) if mesh_shape == (2, 2) else (64, 48)
     cfg = QRConfig(nb=8, ib=8, chunk=1, mesh_shape=mesh_shape)
-    a = rng.standard_normal((64, 48)).astype(np.float32)
+    a = rng.standard_normal(size).astype(np.float32)
     f = qr_sharded_factor_dyn(a, mesh=mesh, config=cfg)
     r_dyn = np.asarray(assemble_r_sharded_dyn(f, mesh))
     r_st = np.asarray(assemble_r_sharded(qr_sharded_factor(a, mesh=mesh, config=cfg)))

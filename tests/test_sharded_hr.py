@@ -30,7 +30,9 @@ def _relerr_vs_numpy_r(a, r):
 
 
 @needs_8
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize(
+    "mesh_shape", [(4, 2), pytest.param((2, 4), marks=pytest.mark.slow)]
+)
 def test_hr_sharded_square(rng, mesh_shape):
     mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=mesh_shape)
@@ -95,7 +97,7 @@ def test_hr_sharded_matches_single_device_hr(rng):
 def test_hr_sharded_deterministic(rng):
     mesh = jax.make_mesh((4, 2), ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=(4, 2))
-    a = rng.standard_normal((96, 96)).astype(np.float32)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
     r1 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
     r2 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
     assert np.array_equal(r1, r2)

@@ -164,3 +164,26 @@ def test_hr_pad_for_hr_identity_block(rng):
 def test_hr_config_validation():
     with pytest.raises(ValueError):
         QRConfig(square_method="nope")
+
+
+def test_hr_rejects_b3(rng):
+    """precision="b3" must raise on the hr paths: the update matmuls are
+    XLA-level, and the simplifier folds the manual bf16 split into ONE bf16
+    pass — measured bf16-class error (5.6e-3 at 8192²) with no speedup
+    (BASELINE.md r3). Silent wrong-precision results are worse than an
+    error."""
+    import jax
+
+    from tileqr.drivers.square_hr import qr_hr
+
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="b3"):
+        qr_hr(jnp.asarray(a), 32, precision="b3", interpret=True)
+
+    from tileqr.drivers.sharded_hr import qr_sharded_factor_hr
+
+    if len(jax.devices()) >= 2:
+        mesh = jax.make_mesh((2, 1), ("rows", "cols"))
+        cfg = QRConfig(nb=32, mesh_shape=(2, 1), precision="b3")
+        with pytest.raises(ValueError, match="b3"):
+            qr_sharded_factor_hr(a, mesh=mesh, config=cfg)

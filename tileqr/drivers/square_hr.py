@@ -106,9 +106,15 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "precision", "interpret")
+    jax.jit, static_argnames=("nb", "precision", "interpret", "barrier_every")
 )
-def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
+def qr_hr(
+    ap,
+    nb: int,
+    precision: str = "highest",
+    interpret: bool = False,
+    barrier_every: int = 4,
+):
     """Blocked hr QR of a padded (Mp, Np) matrix (both multiples of nb;
     column padding must be identity-augmented — see pad_for_hr).
 
@@ -116,6 +122,18 @@ def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
+    if precision == "b3":
+        # the hr trailing update is XLA-level matmuls, and XLA's algebraic
+        # simplifier folds the manual hi/lo bf16 split back into ONE bf16
+        # pass (BASELINE.md r3 footnote) — measured on this path: relerr
+        # 5.6e-3 (bf16-class, not the ~1e-5 the in-kernel split delivers)
+        # AND slower (53.5 vs 37.1 ms at 8192²). Reject rather than return
+        # silently-wrong-precision results; b3 is an hh-driver mode.
+        raise ValueError(
+            'precision="b3" is not supported by square_method="hr" (the '
+            "XLA-level update matmuls fold the split away); use the hh "
+            'driver for b3 or precision="highest"/"default" with hr'
+        )
     dt = ap.dtype
     prec = resolve_precision(precision)
     k_max = min(mp, npad) // nb
@@ -133,12 +151,18 @@ def qr_hr(ap, nb: int, precision: str = "highest", interpret: bool = False):
         c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
         row = jnp.concatenate([rk, c[:nb]], axis=1)
         r = jax.lax.dynamic_update_slice(r, row, (k * nb, k * nb))
-        # the barrier pins the R-row copy-out BEFORE panel k+1 starts: the
-        # latency-hiding scheduler otherwise defers all 64 small R updates
-        # to the end, keeping every shrinking trailing temp alive at once —
-        # Σ(N−k·nb)² ≈ N³/(3nb) bytes, a measured compile-time HBM OOM at
-        # 16384² despite the eager dynamic_update_slice form
-        trail, r = jax.lax.optimization_barrier((c[nb:], r))
+        trail = c[nb:]
+        # every ``barrier_every`` panels, pin the R-row copy-outs BEFORE the
+        # next panel starts: the latency-hiding scheduler otherwise defers
+        # all the small R updates to the end, keeping every shrinking
+        # trailing temp alive at once — Σ(N−k·nb)² ≈ N³/(3nb) bytes, a
+        # measured compile-time HBM OOM at 16384² despite the eager
+        # dynamic_update_slice form. A barrier on EVERY panel (the safe
+        # choice) also serializes the panel/update overlap XLA's async
+        # scheduling provides; every 4th bounds peak temps at ~4 trailing
+        # matrices while leaving overlap windows open.
+        if (k + 1) % max(1, barrier_every) == 0:
+            trail, r = jax.lax.optimization_barrier((trail, r))
         panels.append((y, t))
     return r, tuple(panels)
 
