@@ -113,7 +113,7 @@ def qr_hr(
     nb: int,
     precision: str = "highest",
     interpret: bool = False,
-    barrier_every: int = 4,
+    barrier_every: int = 8,
 ):
     """Blocked hr QR of a padded (Mp, Np) matrix (both multiples of nb;
     column padding must be identity-augmented — see pad_for_hr).
@@ -159,8 +159,10 @@ def qr_hr(
         # measured compile-time HBM OOM at 16384² despite the eager
         # dynamic_update_slice form. A barrier on EVERY panel (the safe
         # choice) also serializes the panel/update overlap XLA's async
-        # scheduling provides; every 4th bounds peak temps at ~4 trailing
-        # matrices while leaving overlap windows open.
+        # scheduling provides. Measured at 16384²: every panel 296.4 ms,
+        # every 4th 245.6, every 8th 238.9 (84.6% of the fp32 ceiling),
+        # every 16th 378.6 (peak temps ≈ 15 GB — HBM pressure stalls);
+        # 8 is the shipped default.
         if (k + 1) % max(1, barrier_every) == 0:
             trail, r = jax.lax.optimization_barrier((trail, r))
         panels.append((y, t))
