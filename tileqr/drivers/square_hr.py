@@ -106,7 +106,8 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "precision", "interpret", "barrier_every")
+    jax.jit,
+    static_argnames=("nb", "precision", "interpret", "barrier_every", "r_anchor"),
 )
 def qr_hr(
     ap,
@@ -114,14 +115,28 @@ def qr_hr(
     precision: str = "highest",
     interpret: bool = False,
     barrier_every: int = 8,
+    r_anchor: str = "cholqr",
 ):
     """Blocked hr QR of a padded (Mp, Np) matrix (both multiples of nb;
     column padding must be identity-augmented — see pad_for_hr).
+
+    r_anchor selects where panel k's R(k,k) diagonal block comes from:
+      "cholqr" (default): CholeskyQR2's R (= triu(QᵀA) with the corrected Q,
+        signs folded).
+      "panel": apply the reconstructed block reflector to the panel's OWN
+        columns and take triu of the top block — the hh driver's R
+        materialization. MEASURED A WASH (BASELINE.md r3): 8192² relerr
+        7.31e-07 vs cholqr's 7.38e-07 at a ~2% wall cost (extra nb-wide
+        update strip) — the hr residual floor is the per-panel
+        apply-chain/orthogonality rounding, not the R anchor. Kept for the
+        A/B record.
 
     Returns (r (K, Np) with K = min(Mp, Np), panels tuple of (Y_k, T_k))."""
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
+    if r_anchor not in ("panel", "cholqr"):
+        raise ValueError(f"r_anchor={r_anchor!r} must be panel|cholqr")
     if precision == "b3":
         # the hr trailing update is XLA-level matmuls, and XLA's algebraic
         # simplifier folds the manual hi/lo bf16 split back into ONE bf16
@@ -148,10 +163,15 @@ def qr_hr(
     panels = []
     for k in range(k_max):
         y, t, rk = hr_panel(trail[:, :nb], interpret)
-        c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
-        row = jnp.concatenate([rk, c[:nb]], axis=1)
+        if r_anchor == "panel":
+            c = _apply_block_t(y, t, trail, prec, dt, trans=True)
+            row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
+            trail = c[nb:, nb:]
+        else:
+            c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
+            row = jnp.concatenate([rk, c[:nb]], axis=1)
+            trail = c[nb:]
         r = jax.lax.dynamic_update_slice(r, row, (k * nb, k * nb))
-        trail = c[nb:]
         # every ``barrier_every`` panels, pin the R-row copy-outs BEFORE the
         # next panel starts: the latency-hiding scheduler otherwise defers
         # all the small R updates to the end, keeping every shrinking
