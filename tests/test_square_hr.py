@@ -166,24 +166,60 @@ def test_hr_config_validation():
         QRConfig(square_method="nope")
 
 
-def test_hr_rejects_b3(rng):
-    """precision="b3" must raise on the hr paths: the update matmuls are
-    XLA-level, and the simplifier folds the manual bf16 split into ONE bf16
-    pass — measured bf16-class error (5.6e-3 at 8192²) with no speedup
-    (BASELINE.md r3). Silent wrong-precision results are worse than an
-    error."""
-    import jax
+def test_hr_b3_protected_split(rng):
+    """precision="b3" on hr rides the barrier-protected XLA-level split
+    (kernels/common.dot_b3_xla): r3 first REJECTED b3 here because the
+    naive split folds to one bf16 pass under
+    --xla_allow_excess_precision; the mid-convert optimization_barrier
+    fixes that (scripts/tpu_r3_b3_barrier.py). The trailing updates run
+    b3 while panels/reconstruction stay HIGHEST, so the factorization must
+    land in the b3 accuracy class (~1e-5), far better than one bf16 pass
+    (~1e-2). On CPU the DEFAULT-precision passes are computed in fp32, so
+    this test pins the plumbing (routing + correctness), not the on-chip
+    error — that's BASELINE.md's job."""
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    q, r = tileqr.qr(a, config=CFG.replace(precision="b3"))
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-4
+    q64 = np.asarray(q, np.float64)
+    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-3
 
-    from tileqr.drivers.square_hr import qr_hr
 
-    a = rng.standard_normal((64, 64)).astype(np.float32)
-    with pytest.raises(ValueError, match="b3"):
-        qr_hr(jnp.asarray(a), 32, precision="b3", interpret=True)
+def test_hr_chunked_bitwise_matches_static(rng):
+    """The bounded-compile segmented driver (qr_hr_chunked) is the SAME
+    algorithm cut at jit boundaries: R and every (Y, T) panel must be
+    bitwise-equal to the trace-unrolled qr_hr (the equivalence the api
+    driver policy relies on when routing large panel counts through it)."""
+    from tileqr.drivers.square_hr import qr_hr_chunked
 
-    from tileqr.drivers.sharded_hr import qr_sharded_factor_hr
+    a = rng.standard_normal((192, 160)).astype(np.float32)
+    ap1, _ = pad_for_hr(jnp.asarray(a), 32)
+    r1, p1 = qr_hr(ap1, 32, interpret=True)
+    ap2, _ = pad_for_hr(jnp.asarray(a), 32)  # fresh buffer: chunked donates
+    r2, p2 = qr_hr_chunked(ap2, 32, interpret=True, seg_panels=2)
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    assert len(p1) == len(p2)
+    for (y1, t1), (y2, t2) in zip(p1, p2):
+        assert (np.asarray(y1) == np.asarray(y2)).all()
+        assert (np.asarray(t1) == np.asarray(t2)).all()
 
-    if len(jax.devices()) >= 2:
-        mesh = jax.make_mesh((2, 1), ("rows", "cols"))
-        cfg = QRConfig(nb=32, mesh_shape=(2, 1), precision="b3")
-        with pytest.raises(ValueError, match="b3"):
-            qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
+
+def test_hr_api_routes_large_panel_counts_to_chunked(rng, monkeypatch):
+    """qr_factor(square_method="hr") at a panel count past the auto-static
+    ceiling must use the segmented driver (the trace-unrolled one OOMs the
+    XLA compile at 128 panels on hardware)."""
+    import tileqr.api as api
+
+    called = {}
+    orig = api.qr_hr_chunked
+
+    def spy(*args, **kw):
+        called["yes"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(api, "qr_hr_chunked", spy)
+    a = rng.standard_normal((40, 40)).astype(np.float32)
+    cfg = QRConfig(nb=8, ib=8, square_method="hr")  # 5 panels > ceiling below
+    monkeypatch.setattr(QRConfig, "AUTO_STATIC_MAX_PANELS", 4)
+    q, r = tileqr.qr(a, config=cfg)
+    assert called.get("yes")
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-5

@@ -26,6 +26,7 @@ from tileqr.drivers.square_hr import (
     orgqr_hr,
     pad_for_hr,
     qr_hr,
+    qr_hr_chunked,
 )
 from tileqr.drivers.square_dyn import (
     DynFactors,
@@ -116,10 +117,20 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         a = a / scale
     if cfg.square_method == "hr":
         ap, _ = pad_for_hr(a, cfg.nb)
-        r, panels = qr_hr(
-            ap, cfg.nb, precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
-        )
+        if cfg.resolve_driver(m, n) == "dynamic":
+            # bounded-compile twin (same policy as the hh path): the
+            # trace-unrolled qr_hr at 128 panels OOMs the XLA compile
+            # itself; the segmented driver is bitwise-identical (pinned by
+            # test) and compiles O(k_max/8) small programs
+            r, panels = qr_hr_chunked(
+                ap, cfg.nb, precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
+        else:
+            r, panels = qr_hr(
+                ap, cfg.nb, precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
         return HRFactors(r, panels, cfg.nb, (m, n), scale)
     ap, _ = pad_to_tiles(a, cfg.nb)
     if cfg.resolve_driver(m, n) == "dynamic":

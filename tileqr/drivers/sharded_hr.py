@@ -200,10 +200,9 @@ def qr_sharded_factor_hr(
         mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
     pr, pc = mesh.devices.shape
     interpret = resolve_interpret(cfg.interpret)
-    if cfg.precision == "b3":
-        # XLA-level update matmuls fold the manual bf16 split away
-        # (drivers/square_hr.py qr_hr guard — same reasoning)
-        raise ValueError('precision="b3" is not supported by the hr sharded driver')
+    # "b3" rides the barrier-protected XLA-level split (square_hr._dot →
+    # kernels/common.dot_b3_xla); the naive split folds to one bf16 pass
+    # under --xla_allow_excess_precision
     prec = resolve_precision(cfg.precision)
 
     a = jnp.asarray(a, cfg.dtype)

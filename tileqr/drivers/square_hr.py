@@ -52,10 +52,13 @@ from tileqr.kernels.modlu import modified_lu
 
 
 def _dot(a, b, prec, dt):
-    from tileqr.kernels.common import B3, _dot_b3
+    from tileqr.kernels.common import B3, dot_b3_xla
 
     if prec == B3 and dt == jnp.float32:
-        return _dot_b3(a, b, (((1,), (0,)), ((), ()))).astype(dt)
+        # barrier-protected split — the naive XLA-level emulation folds to
+        # ONE bf16 pass under --xla_allow_excess_precision
+        # (kernels/common.py _split_bf16_xla)
+        return dot_b3_xla(a, b, (((1,), (0,)), ((), ()))).astype(dt)
     if prec == B3:
         prec = jax.lax.Precision.HIGHEST
     return jnp.dot(a, b, precision=prec, preferred_element_type=acc_type(dt)).astype(dt)
@@ -137,22 +140,9 @@ def qr_hr(
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
     if r_anchor not in ("panel", "cholqr"):
         raise ValueError(f"r_anchor={r_anchor!r} must be panel|cholqr")
-    if precision == "b3":
-        # the hr trailing update is XLA-level matmuls, and XLA's algebraic
-        # simplifier folds the manual hi/lo bf16 split back into ONE bf16
-        # pass (BASELINE.md r3 footnote) — measured on this path: relerr
-        # 5.6e-3 (bf16-class, not the ~1e-5 the in-kernel split delivers)
-        # AND slower (53.5 vs 37.1 ms at 8192²). Reject rather than return
-        # silently-wrong-precision results; b3 is an hh-driver mode.
-        raise ValueError(
-            'precision="b3" is not supported by square_method="hr" (the '
-            "XLA-level update matmuls fold the split away); use the hh "
-            'driver for b3 or precision="highest"/"default" with hr'
-        )
     dt = ap.dtype
     prec = resolve_precision(precision)
     k_max = min(mp, npad) // nb
-    trail = ap
     # R rows land in a preallocated buffer via dynamic_update_slice, NOT a
     # final concat of per-panel slices: the concat form keeps EVERY
     # trailing-matrix temp alive until the end (each contributes its first
@@ -160,8 +150,20 @@ def qr_hr(
     # HBM OOM. With the eager copy-out, only two consecutive trailing
     # matrices are ever live.
     r = jnp.zeros((k_max * nb, npad), dt)
+    trail, r, panels = _hr_body(
+        ap, r, nb, 0, k_max, prec, dt, interpret, barrier_every, r_anchor
+    )
+    return r, tuple(panels)
+
+
+def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_anchor):
+    """Factor panels [k0, k0+kseg) of ``trail`` (the trailing window whose
+    top-left corner is global (k0·nb, k0·nb)), writing finished R rows into
+    the full-width ``r`` buffer at their global offsets. Returns the
+    remaining trailing window, the updated r, and the panel list."""
     panels = []
-    for k in range(k_max):
+    for i in range(kseg):
+        k = k0 + i
         y, t, rk = hr_panel(trail[:, :nb], interpret)
         if r_anchor == "panel":
             c = _apply_block_t(y, t, trail, prec, dt, trans=True)
@@ -186,6 +188,71 @@ def qr_hr(
         if (k + 1) % max(1, barrier_every) == 0:
             trail, r = jax.lax.optimization_barrier((trail, r))
         panels.append((y, t))
+    return trail, r, panels
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb", "k0", "kseg", "precision", "interpret", "barrier_every", "r_anchor",
+    ),
+    donate_argnums=(0, 1),
+)
+def _hr_segment(
+    trail, r, nb, k0, kseg, precision, interpret, barrier_every, r_anchor
+):
+    prec = resolve_precision(precision)
+    trail, r, panels = _hr_body(
+        trail, r, nb, k0, kseg, prec, trail.dtype, interpret,
+        barrier_every, r_anchor,
+    )
+    return trail, r, tuple(panels)
+
+
+def qr_hr_chunked(
+    ap,
+    nb: int,
+    precision: str = "highest",
+    interpret: bool = False,
+    seg_panels: int = 8,
+    barrier_every: int = 2,
+    r_anchor: str = "cholqr",
+):
+    """Bounded-compile hr driver: same algorithm and factor layout as
+    ``qr_hr``, but the panel loop is split into ``seg_panels``-panel
+    segments, each its OWN small jitted executable with the (trail, r)
+    carry donated between them. Compile cost is O(k_max / seg_panels)
+    small programs instead of one k_max-panel giant: the trace-unrolled
+    ``qr_hr`` at 32768² (128 panels) SIGKILLs this environment's remote
+    compile helper (BASELINE.md r3 — the XLA buffer-assignment pass OOMs
+    on the ~5000-op program with 4 GiB temps), while each segment here is
+    an 8-panel program that compiles in seconds. No flop waste, no
+    masking — shapes shrink at segment boundaries exactly as the static
+    driver's do. The barrier_every default is 2 (not 8): segments are
+    their own materialization points, and at 32768² two live 4 GiB
+    trailing temps are the HBM budget.
+
+    DONATES ``ap`` (and reuses it as the trailing carry) — callers keep
+    their original unpadded array; ``pad_for_hr`` always allocates a fresh
+    padded buffer. Returns (r, panels) exactly like ``qr_hr``."""
+    mp, npad = ap.shape
+    if mp % nb or npad % nb:
+        raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
+    dt = ap.dtype
+    k_max = min(mp, npad) // nb
+    r = jnp.zeros((k_max * nb, npad), dt)
+    trail = ap
+    panels = []
+    k0 = 0
+    while k0 < k_max:
+        kseg = min(seg_panels, k_max - k0)
+        trail, r, seg = _hr_segment(
+            trail, r, nb=nb, k0=k0, kseg=kseg, precision=precision,
+            interpret=interpret, barrier_every=barrier_every,
+            r_anchor=r_anchor,
+        )
+        panels.extend(seg)
+        k0 += kseg
     return r, tuple(panels)
 
 

@@ -34,12 +34,47 @@ def _split_bf16(a):
     return hi, lo
 
 
+def _split_bf16_xla(a):
+    """XLA-level protected split: identical math to _split_bf16, with an
+    optimization_barrier BETWEEN the two converts. Required outside Pallas:
+    this environment's compile service runs with
+    --xla_allow_excess_precision=true, under which XLA elides the
+    bf16→f32 round-trip inside the split (hi stays fp32 ⇒ lo = a − a = 0),
+    silently degrading the 3-pass emulation to ONE bf16 pass — measured
+    relerr 2.35e-03 (= DEFAULT) at 3-pass cost; a barrier AFTER the split
+    is too late (the fold happens inside). With the mid barrier the split
+    survives: 59 TFLOP/s at relerr 4.4e-06 on a 4096³ matmul
+    (scripts/tpu_r3_b3_barrier.py, BASELINE.md r3). Inside Mosaic kernels
+    the converts are explicit vector ops and need no barrier."""
+    hi = jax.lax.optimization_barrier(a.astype(jnp.bfloat16))
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot_b3_xla(a, b, dims):
+    """XLA-level (non-Pallas) 3-pass bf16 fp32 emulation — the barrier-
+    protected twin of _dot_b3, for drivers whose update matmuls are plain
+    XLA ops (the hr family)."""
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    ah, al = _split_bf16_xla(a)
+    bh, bl = _split_bf16_xla(b)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
 def _dot_b3(a, b, dims):
     """3-pass bf16 emulation of an fp32 contraction: AB ≈ Ah·Bh + Ah·Bl +
     Al·Bh, each a native-speed bf16 MXU pass accumulated in fp32. The
     dropped Al·Bl term is ~2⁻¹⁶ relative — the same order as the split's
     own representation error, so the result carries ~16 mantissa bits
-    (measured: QR relerr ~1e-5 vs HIGHEST's ~3e-7, BASELINE.md r3)."""
+    (measured: QR relerr ~1e-5 vs HIGHEST's ~3e-7, BASELINE.md r3).
+    IN-KERNEL USE ONLY — at the XLA level use dot_b3_xla (excess-precision
+    folding, see _split_bf16_xla)."""
     def d(x, y):
         return jax.lax.dot_general(
             x, y, dimension_numbers=dims,
