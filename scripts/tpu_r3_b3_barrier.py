@@ -47,9 +47,32 @@ def split(a, barrier):
     # DEFAULT, at 3-pass speed).
     # barrier="mid": barrier hi between the two converts, so the round-trip
     # cannot be folded and lo carries the true residual.
+    # barrier="bitcast": block the excess-precision elision of the bf16→f32
+    # round-trip with a bf16→i16→bf16 bitcast pair instead of an
+    # optimization_barrier — bitcasts are free on hardware and, unlike the
+    # barrier, are NOT scheduling fences (the mid-barrier variant measured
+    # accurate but SLOW inside the hr drivers: ~64 fences serialize the
+    # panel/update overlap).
+    if barrier == "mask":
+        # fence-free protection: hi is the TRUNCATED top-16-bit fp32 value,
+        # produced by integer mantissa masking — there is no f32→bf16→f32
+        # convert round-trip for the excess-precision simplifier to elide,
+        # and no optimization_barrier to fence the scheduler. hi converts
+        # to bf16 exactly (bit truncation); lo carries the masked-off bits
+        # (rounded to bf16). Truncation doubles the split residual vs
+        # round-to-nearest (2^-8 vs 2^-9 worst case) — same error class.
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+        hi32 = jax.lax.bitcast_convert_type(
+            ai & jnp.int32(-65536), jnp.float32
+        )
+        return hi32.astype(jnp.bfloat16), (a - hi32).astype(jnp.bfloat16)
     hi = a.astype(jnp.bfloat16)
     if barrier == "mid":
         hi = jax.lax.optimization_barrier(hi)
+    elif barrier == "bitcast":
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(hi, jnp.int16), jnp.bfloat16
+        )
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     if barrier == "post":
         hi, lo = jax.lax.optimization_barrier((hi, lo))
@@ -89,6 +112,8 @@ if __name__ == "__main__":
         "b3_naive": lambda x, y: b3(x, y, "none"),
         "b3_post": lambda x, y: b3(x, y, "post"),
         "b3_mid": lambda x, y: b3(x, y, "mid"),
+        "b3_bitcast": lambda x, y: b3(x, y, "bitcast"),
+        "b3_mask": lambda x, y: b3(x, y, "mask"),
     }
     for name, f in variants.items():
         jf = jax.jit(f)

@@ -50,8 +50,10 @@ def bench(n, nb=256, precision="highest", seg=8, be=2, check=True, reps=3):
 
     times = []
     for _ in range(reps):
-        a = gen(n)
+        # free the previous run's factors BEFORE allocating the next input
+        # (r + panels ≈ 6 GiB at 32768²; holding them across gen() OOMs)
         del r, panels
+        a = gen(n)
         t0 = time.perf_counter()
         r, panels = qr_hr_chunked(
             a, nb, precision=precision, seg_panels=seg, barrier_every=be
@@ -65,6 +67,7 @@ def bench(n, nb=256, precision="highest", seg=8, be=2, check=True, reps=3):
         f"(compile+first {t_first:.0f} s)"
     )
     if check:
+        del r, panels
         a = gen(n)
         a_cols = np.asarray(jax.lax.slice(a, (0, 0), (n, 512)), np.float64)
         r, panels = qr_hr_chunked(
@@ -82,9 +85,9 @@ def bench(n, nb=256, precision="highest", seg=8, be=2, check=True, reps=3):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "32k"
     if which == "32k":
-        bench(32768, precision="highest", reps=2)
+        bench(32768, precision="highest", reps=2, be=2)
     elif which == "32k_b3":
-        bench(32768, precision="b3", reps=2)
+        bench(32768, precision="b3", reps=2, be=2)
     elif which == "16k":
         bench(16384, precision="highest", be=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif which == "16k_b3":

@@ -102,10 +102,47 @@ def hr_panel(panel, interpret, correction_iters: int = 2):
 
 def _apply_block_t(y, t, c, prec, dt, trans: bool):
     """C ← (I − Y·T·Yᵀ)ᵀ C (trans) or (I − Y·T·Yᵀ) C (no trans)."""
+    from tileqr.kernels.common import B3
+
+    if prec == B3 and dt == jnp.float32:
+        return _apply_block_t_b3(y, t, c, dt, trans)
     w = _dot(jnp.transpose(y), c, prec, dt)
     tm = jnp.transpose(t) if trans else t
     w = _dot(tm, w, prec, dt)
     return c - _dot(y, w, prec, dt)
+
+
+def _apply_block_t_b3(y, t, c, dt, trans: bool):
+    """b3 block-reflector apply with ONCE-PER-OPERAND splits.
+
+    The generic path (_dot → dot_b3_xla per contraction) re-splits Y and C
+    inside every dot: ~4 extra HBM passes over the trailing matrix per
+    panel, which buries the 2× MXU win — measured 49.6 ms at 8192² vs
+    highest's 37.1 (BASELINE.md r3). Here Y and C are split once and the
+    hi/lo pairs feed both large contractions; the nb×nb T product stays
+    HIGHEST (negligible cost, no reason to round it)."""
+    from tileqr.kernels.common import _split_bf16_xla
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def d3(ah, al, bh, bl, dims):
+        def d(x, z):
+            return jax.lax.dot_general(
+                x, z, dimension_numbers=dims,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+    yh, yl = _split_bf16_xla(y)
+    ch, cl = _split_bf16_xla(c)
+    w = d3(yh, yl, ch, cl, (((0,), (0,)), ((), ()))).astype(dt)
+    tm = jnp.transpose(t) if trans else t
+    w = jnp.dot(tm, w, precision=hi, preferred_element_type=jnp.float32).astype(dt)
+    wh, wl = _split_bf16_xla(w)
+    yw = d3(yh, yl, wh, wl, (((1,), (0,)), ((), ()))).astype(dt)
+    return c - yw
 
 
 @functools.partial(
@@ -196,17 +233,43 @@ def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_ancho
     static_argnames=(
         "nb", "k0", "kseg", "precision", "interpret", "barrier_every", "r_anchor",
     ),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
-def _hr_segment(
-    trail, r, nb, k0, kseg, precision, interpret, barrier_every, r_anchor
-):
+def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every, r_anchor):
+    """Factor panels [k0, k0+kseg) inside the full-size carry matrix. The
+    carry is the SINGLE (Mp, Np) buffer and the ONLY loop state: finished R
+    row blocks live at their global offsets (stale A values left of the
+    diagonal — removed by the caller's final triu), the active trailing
+    window at (k·nb, k·nb) is read through fused slices and written back
+    per panel. Keeping no separate trail value matters twice at 32768²:
+    (a) full-shape in/out keeps the donated carry aliasable (a shrinking
+    trail output cannot alias its larger input), and (b) the live set is
+    carry + ONE window temp ≈ 8 GiB instead of carry + two evolving
+    windows ≈ 12 GiB — the trail-carrying design rode at ~97% of HBM,
+    where it intermittently ResourceExhausted and, when it ran, crawled at
+    6.89 TFLOP/s (allocator pressure; BASELINE.md r3)."""
     prec = resolve_precision(precision)
-    trail, r, panels = _hr_body(
-        trail, r, nb, k0, kseg, prec, trail.dtype, interpret,
-        barrier_every, r_anchor,
-    )
-    return trail, r, tuple(panels)
+    dt = carry.dtype
+    panels = []
+    for i in range(kseg):
+        k = k0 + i
+        s = k * nb
+        win = carry[s:, s:]
+        y, t, rk = hr_panel(win[:, :nb], interpret)
+        if r_anchor == "panel":
+            c = _apply_block_t(y, t, win, prec, dt, trans=True)
+            row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
+            low = c[nb:, nb:]
+        else:
+            c = _apply_block_t(y, t, win[:, nb:], prec, dt, trans=True)
+            row = jnp.concatenate([rk, c[:nb]], axis=1)
+            low = c[nb:]
+        carry = jax.lax.dynamic_update_slice(carry, row, (s, s))
+        carry = jax.lax.dynamic_update_slice(carry, low, (s + nb, s + nb))
+        if (k + 1) % max(1, barrier_every) == 0:
+            carry = jax.lax.optimization_barrier(carry)
+        panels.append((y, t))
+    return carry, tuple(panels)
 
 
 def qr_hr_chunked(
@@ -220,39 +283,41 @@ def qr_hr_chunked(
 ):
     """Bounded-compile hr driver: same algorithm and factor layout as
     ``qr_hr``, but the panel loop is split into ``seg_panels``-panel
-    segments, each its OWN small jitted executable with the (trail, r)
-    carry donated between them. Compile cost is O(k_max / seg_panels)
-    small programs instead of one k_max-panel giant: the trace-unrolled
-    ``qr_hr`` at 32768² (128 panels) SIGKILLs this environment's remote
-    compile helper (BASELINE.md r3 — the XLA buffer-assignment pass OOMs
-    on the ~5000-op program with 4 GiB temps), while each segment here is
-    an 8-panel program that compiles in seconds. No flop waste, no
-    masking — shapes shrink at segment boundaries exactly as the static
-    driver's do. The barrier_every default is 2 (not 8): segments are
-    their own materialization points, and at 32768² two live 4 GiB
-    trailing temps are the HBM budget.
+    segments, each its OWN small jitted executable with the carry matrix
+    donated between them. Compile cost is O(k_max / seg_panels) small
+    programs instead of one k_max-panel giant: the trace-unrolled ``qr_hr``
+    at 32768² (128 panels) SIGKILLs this environment's remote compile
+    helper (BASELINE.md r3 — the XLA buffer-assignment pass OOMs on the
+    ~5000-op program with 4 GiB temps), while each segment here is an
+    8-panel program that compiles in seconds. No flop waste, no masking —
+    shapes shrink at segment boundaries exactly as the static driver's do.
+    R rides INSIDE the carry (row blocks at their global offsets) so the
+    donated buffer aliases in/out at full shape; the final triu strips the
+    stale below-diagonal values. The barrier_every default is 2 (not 8):
+    segments are their own materialization points, and at 32768² two live
+    4 GiB trailing temps are the HBM budget.
 
-    DONATES ``ap`` (and reuses it as the trailing carry) — callers keep
-    their original unpadded array; ``pad_for_hr`` always allocates a fresh
-    padded buffer. Returns (r, panels) exactly like ``qr_hr``."""
+    DONATES ``ap`` (and reuses it as the carry) — callers keep their
+    original unpadded array; ``pad_for_hr`` always allocates a fresh
+    padded buffer. Returns (r, panels) bitwise-equal to ``qr_hr`` (pinned
+    by test)."""
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
-    dt = ap.dtype
     k_max = min(mp, npad) // nb
-    r = jnp.zeros((k_max * nb, npad), dt)
-    trail = ap
+    carry = ap
     panels = []
     k0 = 0
     while k0 < k_max:
         kseg = min(seg_panels, k_max - k0)
-        trail, r, seg = _hr_segment(
-            trail, r, nb=nb, k0=k0, kseg=kseg, precision=precision,
+        carry, seg = _hr_segment(
+            carry, nb=nb, k0=k0, kseg=kseg, precision=precision,
             interpret=interpret, barrier_every=barrier_every,
             r_anchor=r_anchor,
         )
         panels.extend(seg)
         k0 += kseg
+    r = jnp.triu(carry[: k_max * nb])
     return r, tuple(panels)
 
 

@@ -35,20 +35,30 @@ def _split_bf16(a):
 
 
 def _split_bf16_xla(a):
-    """XLA-level protected split: identical math to _split_bf16, with an
-    optimization_barrier BETWEEN the two converts. Required outside Pallas:
-    this environment's compile service runs with
-    --xla_allow_excess_precision=true, under which XLA elides the
-    bf16→f32 round-trip inside the split (hi stays fp32 ⇒ lo = a − a = 0),
-    silently degrading the 3-pass emulation to ONE bf16 pass — measured
-    relerr 2.35e-03 (= DEFAULT) at 3-pass cost; a barrier AFTER the split
-    is too late (the fold happens inside). With the mid barrier the split
-    survives: 59 TFLOP/s at relerr 4.4e-06 on a 4096³ matmul
-    (scripts/tpu_r3_b3_barrier.py, BASELINE.md r3). Inside Mosaic kernels
-    the converts are explicit vector ops and need no barrier."""
-    hi = jax.lax.optimization_barrier(a.astype(jnp.bfloat16))
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """XLA-level protected split via integer mantissa masking. Outside
+    Pallas the _split_bf16 form is silently destroyed: this environment's
+    compile service runs with --xla_allow_excess_precision=true, under
+    which XLA elides the bf16→f32 round-trip inside the split (hi stays
+    fp32 ⇒ lo = a − a = 0), degrading the 3-pass emulation to ONE bf16
+    pass — measured relerr 2.35e-03 (= DEFAULT) at 3-pass cost. The probe
+    ladder (scripts/tpu_r3_b3_barrier.py, BASELINE.md r3): a barrier AFTER
+    the split is too late (fold happens inside); an optimization_barrier
+    between the converts fixes accuracy (4.4e-06 at 59 TFLOP/s on 4096³)
+    but each barrier is a scheduler FENCE — inside the hr drivers the
+    fences serialize the panel/update overlap and b3 measured SLOWER than
+    HIGHEST (49.6 vs 37.1 ms at 8192²); a bitcast round-trip is folded
+    right back (2.35e-03). The winner: hi = fp32 with the low 16 mantissa
+    bits MASKED OFF (bitcast → &0xFFFF0000 → bitcast) — no float-convert
+    pattern to elide, no fence, and hi→bf16 is an exact bit truncation.
+    Truncation doubles the split residual vs round-to-nearest (1.3e-05 vs
+    4.4e-06 on the 4096³ probe) — same error class, full speed (61
+    TFLOP/s). Inside Mosaic kernels the converts are explicit vector ops
+    and need no protection (_split_bf16)."""
+    hi32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.int32) & jnp.int32(-65536),
+        jnp.float32,
+    )
+    return hi32.astype(jnp.bfloat16), (a - hi32).astype(jnp.bfloat16)
 
 
 def dot_b3_xla(a, b, dims):
