@@ -87,7 +87,7 @@ if __name__ == "__main__":
     if which == "32k":
         bench(32768, precision="highest", reps=2, be=2)
     elif which == "32k_b3":
-        bench(32768, precision="b3", reps=2, be=2)
+        bench(32768, precision="b3", reps=2, be=8)
     elif which == "16k":
         bench(16384, precision="highest", be=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif which == "16k_b3":

@@ -32,3 +32,17 @@ for pname in ("highest", "b3", "default"):
         return f
     tt = chained(mk, y, t, c)
     print(f"{pname:8s}: {tt*1e3:7.2f} ms  {flops/tt/1e12:6.2f} TFLOP/s", flush=True)
+
+# Pallas panel_apply kernel variants (in-kernel split — the b3 fix)
+from tileqr.kernels.panel_apply import panel_apply
+
+for pname in ("highest", "b3"):
+    def mk(k, pname=pname):
+        @jax.jit
+        def f(y, t, c):
+            for _ in range(k):
+                c = panel_apply(y, t, c, trans=True, precision=pname, interpret=False)
+            return c
+        return f
+    tt = chained(mk, y, t, c)
+    print(f"pallas {pname:8s}: {tt*1e3:7.2f} ms  {flops/tt/1e12:6.2f} TFLOP/s", flush=True)

@@ -117,11 +117,14 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         a = a / scale
     if cfg.square_method == "hr":
         ap, _ = pad_for_hr(a, cfg.nb)
-        if cfg.resolve_driver(m, n) == "dynamic":
+        if cfg.resolve_driver(m, n) == "dynamic" or cfg.precision == "b3":
             # bounded-compile twin (same policy as the hh path): the
             # trace-unrolled qr_hr at 128 panels OOMs the XLA compile
             # itself; the segmented driver is bitwise-identical (pinned by
-            # test) and compiles O(k_max/8) small programs
+            # test) and compiles O(k_max/8) small programs. b3 ALWAYS
+            # routes here: the chunked driver hosts the in-place Pallas
+            # apply (kernels/panel_apply.py) that makes b3 faster than
+            # highest — the XLA-level emulation is slower (BASELINE.md r3)
             r, panels = qr_hr_chunked(
                 ap, cfg.nb, precision=cfg.precision,
                 interpret=resolve_interpret(cfg.interpret),

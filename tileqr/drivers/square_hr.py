@@ -100,49 +100,34 @@ def hr_panel(panel, interpret, correction_iters: int = 2):
     return y, t, d[:, None] * r
 
 
-def _apply_block_t(y, t, c, prec, dt, trans: bool):
-    """C ← (I − Y·T·Yᵀ)ᵀ C (trans) or (I − Y·T·Yᵀ) C (no trans)."""
+def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
+    """C ← (I − Y·T·Yᵀ)ᵀ C (trans) or (I − Y·T·Yᵀ) C (no trans).
+
+    For precision="b3" on nb-aligned shapes this routes through the Pallas
+    whole-panel kernel (kernels/panel_apply.py): the XLA-level 3-dot
+    emulation cannot win on this tall-thin shape — the three dots are
+    separate HLO ops re-reading HBM with materialized split operands
+    (measured 20.2 TFLOP/s vs highest's 31.9 on the 8192-row update),
+    while the in-kernel split reuses VMEM blocks across the passes
+    (47.4 TFLOP/s — BASELINE.md r3). Unaligned shapes (vector apply_q
+    targets, reduced-ncols orgqr windows) fall back to the mask-protected
+    XLA emulation (kernels/common.dot_b3_xla): correct b3 accuracy, no
+    speed claim."""
     from tileqr.kernels.common import B3
 
     if prec == B3 and dt == jnp.float32:
-        return _apply_block_t_b3(y, t, c, dt, trans)
+        m, nb = y.shape
+        n = c.shape[1]
+        if n and m % nb == 0 and n % nb == 0:
+            from tileqr.kernels.panel_apply import panel_apply
+
+            return panel_apply(
+                y, t, c, trans=trans, precision="b3", interpret=interpret
+            )
     w = _dot(jnp.transpose(y), c, prec, dt)
     tm = jnp.transpose(t) if trans else t
     w = _dot(tm, w, prec, dt)
     return c - _dot(y, w, prec, dt)
-
-
-def _apply_block_t_b3(y, t, c, dt, trans: bool):
-    """b3 block-reflector apply with ONCE-PER-OPERAND splits.
-
-    The generic path (_dot → dot_b3_xla per contraction) re-splits Y and C
-    inside every dot: ~4 extra HBM passes over the trailing matrix per
-    panel, which buries the 2× MXU win — measured 49.6 ms at 8192² vs
-    highest's 37.1 (BASELINE.md r3). Here Y and C are split once and the
-    hi/lo pairs feed both large contractions; the nb×nb T product stays
-    HIGHEST (negligible cost, no reason to round it)."""
-    from tileqr.kernels.common import _split_bf16_xla
-
-    hi = jax.lax.Precision.HIGHEST
-
-    def d3(ah, al, bh, bl, dims):
-        def d(x, z):
-            return jax.lax.dot_general(
-                x, z, dimension_numbers=dims,
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )
-
-        return d(ah, bh) + (d(ah, bl) + d(al, bh))
-
-    yh, yl = _split_bf16_xla(y)
-    ch, cl = _split_bf16_xla(c)
-    w = d3(yh, yl, ch, cl, (((0,), (0,)), ((), ()))).astype(dt)
-    tm = jnp.transpose(t) if trans else t
-    w = jnp.dot(tm, w, precision=hi, preferred_element_type=jnp.float32).astype(dt)
-    wh, wl = _split_bf16_xla(w)
-    yw = d3(yh, yl, wh, wl, (((1,), (0,)), ((), ()))).astype(dt)
-    return c - yw
 
 
 @functools.partial(
@@ -203,11 +188,11 @@ def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_ancho
         k = k0 + i
         y, t, rk = hr_panel(trail[:, :nb], interpret)
         if r_anchor == "panel":
-            c = _apply_block_t(y, t, trail, prec, dt, trans=True)
+            c = _apply_block_t(y, t, trail, prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
             trail = c[nb:, nb:]
         else:
-            c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True)
+            c = _apply_block_t(y, t, trail[:, nb:], prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([rk, c[:nb]], axis=1)
             trail = c[nb:]
         r = jax.lax.dynamic_update_slice(r, row, (k * nb, k * nb))
@@ -231,11 +216,13 @@ def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_ancho
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nb", "k0", "kseg", "precision", "interpret", "barrier_every", "r_anchor",
+        "nb", "k0", "kseg", "precision", "interpret", "barrier_every",
+        "r_anchor", "use_kernel",
     ),
     donate_argnums=(0,),
 )
-def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every, r_anchor):
+def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
+                r_anchor, use_kernel=False):
     """Factor panels [k0, k0+kseg) inside the full-size carry matrix. The
     carry is the SINGLE (Mp, Np) buffer and the ONLY loop state: finished R
     row blocks live at their global offsets (stale A values left of the
@@ -248,20 +235,47 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every, r_anch
     windows ≈ 12 GiB — the trail-carrying design rode at ~97% of HBM,
     where it intermittently ResourceExhausted and, when it ran, crawled at
     6.89 TFLOP/s (allocator pressure; BASELINE.md r3)."""
+    if use_kernel and r_anchor != "cholqr":
+        raise ValueError("use_kernel supports r_anchor='cholqr' only")
     prec = resolve_precision(precision)
     dt = carry.dtype
     panels = []
+    rks = []
     for i in range(kseg):
         k = k0 + i
         s = k * nb
+        if use_kernel:
+            # in-place windowed Pallas apply: reads the panel column through
+            # one small slice, updates carry[s:, s+nb:] with NO window
+            # slice/update-slice copies (kernels/panel_apply.py
+            # panel_apply_carry — the value-level form pays ~4 extra HBM
+            # passes per panel). The nb² diagonal R blocks are NOT written
+            # into the carry here: a dynamic_update_slice whose output
+            # feeds a must-alias pallas call makes XLA copy the whole
+            # carry to satisfy the aliasing — the blocks ride a small
+            # per-segment stack instead and qr_hr_chunked merges them at
+            # the end. Block-accumulated reduction ⇒ values agree with the
+            # XLA path to fp32 rounding, not bitwise.
+            from tileqr.kernels.panel_apply import panel_apply_carry
+
+            y, t, rk = hr_panel(carry[s:, s : s + nb], interpret)
+            carry = panel_apply_carry(
+                y, t, carry, k=k, nb=nb, trans=True, precision=precision,
+                interpret=interpret,
+            )
+            rks.append(rk)
+            if (k + 1) % max(1, barrier_every) == 0:
+                carry = jax.lax.optimization_barrier(carry)
+            panels.append((y, t))
+            continue
         win = carry[s:, s:]
         y, t, rk = hr_panel(win[:, :nb], interpret)
         if r_anchor == "panel":
-            c = _apply_block_t(y, t, win, prec, dt, trans=True)
+            c = _apply_block_t(y, t, win, prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
             low = c[nb:, nb:]
         else:
-            c = _apply_block_t(y, t, win[:, nb:], prec, dt, trans=True)
+            c = _apply_block_t(y, t, win[:, nb:], prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([rk, c[:nb]], axis=1)
             low = c[nb:]
         carry = jax.lax.dynamic_update_slice(carry, row, (s, s))
@@ -269,7 +283,8 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every, r_anch
         if (k + 1) % max(1, barrier_every) == 0:
             carry = jax.lax.optimization_barrier(carry)
         panels.append((y, t))
-    return carry, tuple(panels)
+    rstack = jnp.stack(rks) if rks else None
+    return carry, tuple(panels), rstack
 
 
 def qr_hr_chunked(
@@ -280,6 +295,7 @@ def qr_hr_chunked(
     seg_panels: int = 8,
     barrier_every: int = 2,
     r_anchor: str = "cholqr",
+    use_kernel=None,
 ):
     """Bounded-compile hr driver: same algorithm and factor layout as
     ``qr_hr``, but the panel loop is split into ``seg_panels``-panel
@@ -304,21 +320,47 @@ def qr_hr_chunked(
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
+    if use_kernel is None:
+        # the Pallas in-place apply is what makes b3 actually FAST (the
+        # XLA-level emulation loses to highest on this shape, BASELINE.md
+        # r3); for "highest" the XLA dots are already at the path's ceiling
+        # AND bitwise-equal to the static driver, so they stay the default
+        use_kernel = precision == "b3" and ap.dtype == jnp.float32
     k_max = min(mp, npad) // nb
     carry = ap
     panels = []
+    rstacks = []
     k0 = 0
     while k0 < k_max:
         kseg = min(seg_panels, k_max - k0)
-        carry, seg = _hr_segment(
+        carry, seg, rstack = _hr_segment(
             carry, nb=nb, k0=k0, kseg=kseg, precision=precision,
             interpret=interpret, barrier_every=barrier_every,
-            r_anchor=r_anchor,
+            r_anchor=r_anchor, use_kernel=use_kernel,
         )
         panels.extend(seg)
+        if rstack is not None:
+            rstacks.append(rstack)
         k0 += kseg
-    r = jnp.triu(carry[: k_max * nb])
+    if rstacks:
+        # kernel path: the diagonal R blocks were stashed per segment (a
+        # per-panel dynamic_update_slice into the carry would make XLA copy
+        # the whole carry to satisfy the next pallas call's must-alias) —
+        # merge them into the final R under one donated jit
+        r = _finish_r_kernel(carry, jnp.concatenate(rstacks), nb, k_max)
+    else:
+        r = jnp.triu(carry[: k_max * nb])
     return r, tuple(panels)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "k_max"), donate_argnums=(0,))
+def _finish_r_kernel(carry, rstack, nb, k_max):
+    r = jnp.triu(carry[: k_max * nb])
+
+    def body(k, r):
+        return jax.lax.dynamic_update_slice(r, rstack[k], (k * nb, k * nb))
+
+    return jax.lax.fori_loop(0, k_max, body, r)
 
 
 @functools.partial(
@@ -335,7 +377,7 @@ def apply_q_hr(
     for k in order:
         y, t = panels[k]
         s = k * nb
-        cs = _apply_block_t(y, t, c[s:], prec, dt, trans=trans)
+        cs = _apply_block_t(y, t, c[s:], prec, dt, trans=trans, interpret=interpret)
         c = jnp.concatenate([c[:s], cs], axis=0) if s else cs
     return c
 
@@ -358,7 +400,7 @@ def orgqr_hr(
     k_used = min(len(panels), -(-ncols // nb))
     s_last = (k_used - 1) * nb
     w = jnp.eye(mp - s_last, ncols - s_last, dtype=dt)
-    w = _apply_block_t(*panels[k_used - 1], w, prec, dt, trans=False)
+    w = _apply_block_t(*panels[k_used - 1], w, prec, dt, trans=False, interpret=interpret)
     for k in reversed(range(k_used - 1)):
         rows, cols = w.shape
         w = jnp.block(
@@ -367,7 +409,7 @@ def orgqr_hr(
                 [jnp.zeros((rows, nb), dt), w],
             ]
         )
-        w = _apply_block_t(*panels[k], w, prec, dt, trans=False)
+        w = _apply_block_t(*panels[k], w, prec, dt, trans=False, interpret=interpret)
     return w
 
 
