@@ -125,8 +125,9 @@ def test_dyn_deterministic(rng):
 def test_qr_sharded_auto_routes_dynamic(rng):
     """QRConfig.driver drives the sharded path too: "dynamic" must return
     flat-buffer factors and agree with the oracle."""
-    cfg = QRConfig(nb=8, ib=8, mesh_shape=(4, 2), driver="dynamic")
-    a = rng.standard_normal((80, 64)).astype(np.float32)
+    # routing semantics only — smallest mesh with a real tree (pr = 2)
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=(2, 1), driver="dynamic")
+    a = rng.standard_normal((48, 32)).astype(np.float32)
     f = qr_sharded(a, config=cfg, mode="factor")
     assert isinstance(f, ShardedDynFactors)
     r = np.asarray(assemble_r_sharded(f), np.float64)

@@ -107,9 +107,11 @@ def test_hr_sharded_deterministic(rng):
 def test_hr_sharded_api_routing(rng):
     """qr_sharded(config=QRConfig(square_method='hr')) routes to the gram
     driver and returns R directly."""
-    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
-    cfg = QRConfig(nb=16, mesh_shape=(4, 2), square_method="hr")
-    a = rng.standard_normal((64, 64)).astype(np.float32)
+    # routing semantics only — the smallest real mesh keeps this fast
+    # (interpret shard_map cost scales with simulated-device count)
+    mesh = jax.make_mesh((2, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr")
+    a = rng.standard_normal((32, 32)).astype(np.float32)
     r = np.asarray(qr_sharded(a, mesh=mesh, config=cfg))
     assert _relerr_vs_numpy_r(a, r) < 5e-5
     f = qr_sharded(a, mesh=mesh, config=cfg, mode="factor")
