@@ -127,3 +127,15 @@ def test_hr_sharded_1x1_mesh(rng):
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
     r = np.asarray(assemble_r_sharded_hr(f, mesh))
     assert _relerr_vs_numpy_r(a, r) < 5e-5
+
+
+def test_hr_sharded_b3(rng):
+    """precision="b3" on the gram-panel sharded driver: the local halves of
+    the panel update run as the split Pallas kernels (panel_project /
+    panel_sub) with the psum between them; factors stay HIGHEST. Must land
+    in the b3 accuracy class on the virtual mesh."""
+    mesh = jax.make_mesh((2, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr", precision="b3")
+    a = rng.standard_normal((64, 32)).astype(np.float32)
+    r = np.asarray(qr_sharded(a, mesh=mesh, config=cfg))
+    assert _relerr_vs_numpy_r(a, r) < 1e-3

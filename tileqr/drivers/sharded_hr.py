@@ -153,10 +153,29 @@ def _reconstruct_yt_dist(q, lu, d, top_off, is_owner, nb: int):
     return y, t
 
 
-def _apply_panel_dist(y, t, c, prec, trans: bool):
+def _apply_panel_dist(y, t, c, prec, trans: bool, interpret: bool = False):
     """C ← (I − Y·T·Yᵀ)ᵀ C (trans) / (I − Y·T·Yᵀ) C over sharded rows:
-    one psum_rows of the nb-row projection, two local matmuls."""
+    one psum_rows of the nb-row projection, two local matmuls.
+
+    For precision="b3" the two LOCAL halves run as the split Pallas
+    whole-panel kernels (kernels/panel_apply.py panel_project/panel_sub —
+    in-kernel bf16 split, the only form where the 3-pass emulation wins;
+    BASELINE.md r3) with the psum sitting between them exactly where the
+    XLA form has it; the nb² T product stays HIGHEST."""
+    from tileqr.kernels.common import B3
+
     dt = c.dtype
+    nb = y.shape[1]
+    if (
+        prec == B3 and dt == jnp.float32
+        and y.shape[0] % nb == 0 and c.shape[1] % nb == 0 and c.shape[1]
+    ):
+        from tileqr.kernels.panel_apply import panel_project, panel_sub
+
+        w = jax.lax.psum(panel_project(y, c, "b3", interpret), "rows")
+        tm = jnp.transpose(t) if trans else t
+        w = _dot(tm, w, _HI, dt)
+        return panel_sub(y, w, c, "b3", interpret)
     w = jax.lax.psum(_dot(jnp.transpose(y), c, prec, dt), "rows")
     tm = jnp.transpose(t) if trans else t
     w = _dot(tm, w, prec, dt)
@@ -254,7 +273,7 @@ def qr_sharded_factor_hr(
                 y, t = _reconstruct_yt_dist(q, lu, d, top_off, is_owner, nb)
                 y = y * wmask
 
-                sub = _apply_panel_dist(y, t, sub, prec, trans=True)
+                sub = _apply_panel_dist(y, t, sub, prec, trans=True, interpret=interpret)
 
                 r_diag = jax.lax.dynamic_update_slice(
                     r_diag, (d[:, None] * rch)[None], _ix(k, 0, 0)
@@ -316,6 +335,7 @@ def apply_q_sharded_hr(
     the factor (Qᵀ runs segments forward, Q reversed)."""
     cfg = config if config is not None else QRConfig(nb=f.nb)
     nb = f.nb
+    interpret = resolve_interpret(cfg.interpret)
     mt, nt, pr, pc = f.grid
     if mesh is None:
         mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
@@ -348,7 +368,7 @@ def apply_q_sharded_hr(
                     y_seg, _ix(k - ks, 0, 0), (1,) + y_seg.shape[1:]
                 )[0]
                 t = jax.lax.dynamic_slice(t_all, _ix(k, 0, 0), (1, nb, nb))[0]
-                return _apply_panel_dist(y, t, sub, prec, trans=trans)
+                return _apply_panel_dist(y, t, sub, prec, trans=trans, interpret=interpret)
 
             sub = jax.lax.fori_loop(0, ke - ks, one_panel, sub)
             cm = jnp.concatenate([cm[: lr * nb, :], sub], axis=0) if lr else sub

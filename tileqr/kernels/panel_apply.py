@@ -271,3 +271,97 @@ def panel_apply_carry(y, t, carry, k: int, nb: int, trans: bool = True,
         ),
         interpret=interpret,
     )(y, w, carry)
+
+
+def _mk_project_kernel(precision):
+    def kernel(y_ref, c_ref, w_ref, acc_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += dot_t(y_ref[...], c_ref[...], precision)
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _out():
+            w_ref[...] = acc_ref[...].astype(w_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret", "mr", "nc"))
+def _panel_project_call(y, c, precision, interpret, mr, nc):
+    m, nb = y.shape
+    n = c.shape[1]
+    prec = resolve_precision(precision)
+    return pl.pallas_call(
+        _mk_project_kernel(prec),
+        grid=(n // nc, m // mr),
+        in_specs=[
+            pl.BlockSpec((mr, nb), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mr, nc), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, nc), lambda j, i: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, n), c.dtype),
+        scratch_shapes=[pltpu.VMEM((nb, nc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(y, c)
+
+
+def panel_project(y, c, precision: str = "b3", interpret=None):
+    """W_partial = Yᵀ·C — the projection half of the whole-panel apply,
+    split out so a cross-device reduction (psum over mesh rows) can sit
+    between it and ``panel_sub``: the sharded hr driver's update is
+    W = psum_rows(YᵀC) → T·W → C − Y·W (drivers/sharded_hr.py)."""
+    m, nb = y.shape
+    mc, n = c.shape
+    if mc != m:
+        raise ValueError(f"c rows {mc} != y rows {m}")
+    return _panel_project_call(
+        y, c, precision, resolve_interpret(interpret),
+        _block(m, nb, 512), _block(n, nb, 512),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret", "mr", "nc"))
+def _panel_sub_call(y, w, c, precision, interpret, mr, nc):
+    m, nb = y.shape
+    n = c.shape[1]
+    prec = resolve_precision(precision)
+    return pl.pallas_call(
+        _mk_apply_kernel(prec),
+        grid=(m // mr, n // nc),
+        in_specs=[
+            pl.BlockSpec((mr, nb), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mr, nc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (mr, nc), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), c.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(y, w, c)
+
+
+def panel_sub(y, w, c, precision: str = "b3", interpret=None):
+    """C ← C − Y·W (aliased in place) — the apply half of the split form;
+    see panel_project."""
+    m, nb = y.shape
+    mc, n = c.shape
+    if mc != m:
+        raise ValueError(f"c rows {mc} != y rows {m}")
+    return _panel_sub_call(
+        y, w, c, precision, resolve_interpret(interpret),
+        _block(m, nb, 512), _block(n, nb, 512),
+    )
