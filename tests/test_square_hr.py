@@ -223,3 +223,50 @@ def test_hr_api_routes_large_panel_counts_to_chunked(rng, monkeypatch):
     q, r = tileqr.qr(a, config=cfg)
     assert called.get("yes")
     assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-5
+
+
+def test_hr_apply_q_chunked_matches_unrolled(rng):
+    """apply_q_hr_chunked is the unrolled apply cut at jit boundaries —
+    bitwise-equal values, both directions."""
+    from tileqr.drivers.square_hr import apply_q_hr_chunked
+
+    a = rng.standard_normal((160, 128)).astype(np.float32)
+    ap, _ = pad_for_hr(jnp.asarray(a), 32)
+    r, panels = qr_hr(ap, 32, interpret=True)
+    c_np = rng.standard_normal((160, 64)).astype(np.float32)
+    for trans in (True, False):
+        ref = np.asarray(
+            tileqr.api.apply_q_hr(
+                panels, jnp.asarray(c_np), 32, trans=trans, interpret=True
+            )
+        )
+        # fresh target per call: the chunked apply DONATES it
+        out = np.asarray(
+            apply_q_hr_chunked(panels, jnp.asarray(c_np), 32, trans=trans,
+                               interpret=True, seg_panels=2)
+        )
+        assert (ref == out).all()
+
+
+def test_hr_api_routes_large_panel_counts_to_chunked_apply(rng, monkeypatch):
+    """apply_q/orgqr on HRFactors past the static panel ceiling must take
+    the segmented apply (the unrolled one grows the compile like the
+    factor's did at 128 panels); results stay correct."""
+    import tileqr.api as api
+
+    called = {}
+    orig = api.apply_q_hr_chunked
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(api, "apply_q_hr_chunked", spy)
+    monkeypatch.setattr(QRConfig, "AUTO_STATIC_MAX_PANELS", 2)
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    cfg = QRConfig(nb=32, square_method="hr")
+    q, r = tileqr.qr(a, config=cfg)  # 3 panels > 2 → chunked orgqr
+    assert called.get("yes")
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-5
+    q64 = np.asarray(q, np.float64)
+    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-4

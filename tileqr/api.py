@@ -23,6 +23,7 @@ from tileqr.drivers.batched import qr_batched as _qr_batched
 from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
 from tileqr.drivers.square_hr import (
     apply_q_hr,
+    apply_q_hr_chunked,
     orgqr_hr,
     pad_for_hr,
     qr_hr,
@@ -163,10 +164,18 @@ def apply_q(
         if mc != f.shape[0]:
             raise ValueError(f"c rows {mc} != M {f.shape[0]}")
         cp = jnp.pad(c, ((0, mp - mc), (0, 0)))
-        out = apply_q_hr(
-            f.panels, cp, f.nb, trans=trans, precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
-        )
+        if len(f.panels) > QRConfig.AUTO_STATIC_MAX_PANELS:
+            # bounded-compile segmented apply (the trace-unrolled one grows
+            # the compile the same way the factor's did at 128 panels)
+            out = apply_q_hr_chunked(
+                f.panels, cp, f.nb, trans=trans, precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
+        else:
+            out = apply_q_hr(
+                f.panels, cp, f.nb, trans=trans, precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
         return out[:mc]
     mp = f.packed.shape[0]
     c = jnp.asarray(c, dtype=f.packed.dtype)
@@ -201,10 +210,23 @@ def orgqr(f: QRFactors, ncols: Optional[int] = None, config: Optional[QRConfig] 
     k = min(m, n) if ncols is None else ncols
     if isinstance(f, HRFactors):
         mp = f.panels[0][0].shape[0]
-        out = orgqr_hr(
-            f.panels, mp, f.nb, max(k, 1), precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
-        )
+        if len(f.panels) > QRConfig.AUTO_STATIC_MAX_PANELS:
+            # bounded-compile Q formation: segmented full apply to a padded
+            # identity. Costs ~2× the growing-window orgqr_hr flops but
+            # compiles O(k_max/8) small programs instead of one 128-panel
+            # giant (the window trick's shape changes per panel make it a
+            # trace-unrolled monolith)
+            kp = round_up(max(k, 1), f.nb)
+            eye_p = jnp.eye(mp, kp, dtype=f.r.dtype)
+            out = apply_q_hr_chunked(
+                f.panels, eye_p, f.nb, trans=False, precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
+        else:
+            out = orgqr_hr(
+                f.panels, mp, f.nb, max(k, 1), precision=cfg.precision,
+                interpret=resolve_interpret(cfg.interpret),
+            )
         return out[:m, :k]
     mp = f.packed.shape[0]
     pp = round_up(max(k, 1), f.nb)

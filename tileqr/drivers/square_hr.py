@@ -383,6 +383,51 @@ def apply_q_hr(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("nb", "k0", "trans", "precision", "interpret"),
+    donate_argnums=(1,),
+)
+def _apply_segment(panels, c, nb, k0, trans, precision, interpret):
+    dt = c.dtype
+    prec = resolve_precision(precision)
+    order = range(len(panels)) if trans else reversed(range(len(panels)))
+    for i in order:
+        y, t = panels[i]
+        s = (k0 + i) * nb
+        cs = _apply_block_t(y, t, c[s:], prec, dt, trans=trans, interpret=interpret)
+        c = jnp.concatenate([c[:s], cs], axis=0) if s else cs
+    return c
+
+
+def apply_q_hr_chunked(
+    panels: Tuple, c, nb: int, trans: bool = False,
+    precision: str = "highest", interpret=None, seg_panels: int = 8,
+):
+    """Bounded-compile twin of ``apply_q_hr``: the panel loop is cut into
+    ``seg_panels``-panel jitted segments with the target donated between
+    them — the trace-unrolled apply at 128 panels grows the same class of
+    program that SIGKILLed the factor's compile (BASELINE.md r3). Segments
+    run forward for Qᵀ (trans) and reversed for Q. Same values as
+    apply_q_hr (identical op sequence, just cut at jit boundaries).
+    DONATES ``c`` — callers pass a fresh target (api.apply_q pads into
+    one)."""
+    from tileqr.kernels.common import resolve_interpret as _ri
+
+    interpret = _ri(interpret)
+    k_max = len(panels)
+    bounds = list(range(0, k_max, seg_panels)) + [k_max]
+    segs = list(zip(bounds[:-1], bounds[1:]))
+    if not trans:
+        segs = list(reversed(segs))
+    for ks, ke in segs:
+        c = _apply_segment(
+            tuple(panels[ks:ke]), c, nb=nb, k0=ks, trans=trans,
+            precision=precision, interpret=interpret,
+        )
+    return c
+
+
+@functools.partial(
     jax.jit, static_argnames=("mp", "nb", "ncols", "precision", "interpret")
 )
 def orgqr_hr(
