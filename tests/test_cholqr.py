@@ -110,3 +110,39 @@ def test_qr_batched_bad_method():
             np.zeros((2, 8, 8), np.float32),
             config=QRConfig(batched_method="nope"),
         )
+
+
+def test_bdot_pair_rows_matches_reference(rng):
+    """Pairwise tall contraction (the √m-error fix, BASELINE.md r3 probe):
+    tree-accumulated xᵀy equals the f64 reference; both the tail path
+    (m not a block multiple) and the short fallback are exercised."""
+    from tileqr.drivers.cholqr import bdot_pair_rows
+
+    hi = jax.lax.Precision.HIGHEST
+    for m in (2072, 1024, 600):  # tail, exact blocks, nblk<2 fallback
+        x = rng.standard_normal((2, m, 16)).astype(np.float32)
+        y = rng.standard_normal((2, m, 8)).astype(np.float32)
+        out = np.asarray(
+            bdot_pair_rows(jnp.asarray(x), jnp.asarray(y), hi, jnp.float32),
+            np.float64,
+        )
+        ref = np.einsum("bmp,bmq->bpq", x.astype(np.float64), y.astype(np.float64))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_bdot_pair_rows_cap_bytes(rng):
+    """The partial-stack memory cap reduces the block count, not the
+    answer: a tiny cap must fall back toward (and at 1 block, exactly to)
+    the plain contraction while staying correct."""
+    from tileqr.drivers.cholqr import bdot_pair_rows
+
+    hi = jax.lax.Precision.HIGHEST
+    x = rng.standard_normal((1, 4096, 16)).astype(np.float32)
+    big = np.asarray(bdot_pair_rows(jnp.asarray(x), jnp.asarray(x), hi, jnp.float32))
+    small = np.asarray(
+        bdot_pair_rows(jnp.asarray(x), jnp.asarray(x), hi, jnp.float32,
+                       cap_bytes=2 * 16 * 16 * 4)
+    )
+    ref = np.einsum("bmp,bmq->bpq", x.astype(np.float64), x.astype(np.float64))
+    for out in (big, small):
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5

@@ -5,6 +5,7 @@ Same public-API surface as the default Householder path, with the hr
 conditioning contract (cond(A) ≲ 1e3 in fp32): every entry point is
 exercised through tileqr.* with arbitrary (unpadded) shapes."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -270,3 +271,45 @@ def test_hr_api_routes_large_panel_counts_to_chunked_apply(rng, monkeypatch):
     assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-5
     q64 = np.asarray(q, np.float64)
     assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-4
+
+
+def test_panel_apply_kahan_accumulation():
+    """The W projection's cross-block accumulation is Kahan-compensated
+    (kernels/panel_apply._kahan_add): a 1.0 block partial followed by 31
+    partials of 2⁻²⁵ — each below half an ulp of the running sum, so a
+    naive fp32 accumulation drops ALL of them and returns exactly 1.0 —
+    must come out at ≈ 1 + 31·2⁻²⁵. Pins both the compensation algebra and
+    that the compiler does not fold the (t − acc) − y cancellation away."""
+    from tileqr.kernels.panel_apply import _panel_project_call
+
+    mr, blocks, q = 8, 32, 8
+    y = jnp.tile(jnp.eye(mr, dtype=jnp.float32), (blocks, 1))
+    vals = np.full((blocks,), 2.0 ** -25, np.float32)
+    vals[0] = 1.0
+    c = jnp.asarray(np.repeat(vals, mr)[:, None] * np.ones((1, q), np.float32))
+    w = np.asarray(
+        _panel_project_call(y, c, "highest", True, mr, q), np.float64
+    )
+    expected = 1.0 + (blocks - 1) * 2.0 ** -25
+    assert (w > 1.0 + 2.0 ** -24).all()  # naive accumulation gives exactly 1.0
+    assert np.abs(w - expected).max() <= 2.0 ** -23
+
+
+def test_apply_block_narrow_pairwise_accuracy(rng):
+    """Narrow tall targets route W = YᵀC through the pairwise contraction
+    (drivers/square_hr._apply_block_t): the apply must stay correct vs a
+    float64 reference through that branch (m ≥ 2048 triggers it)."""
+    from tileqr.drivers.square_hr import _apply_block_t, hr_panel
+
+    m, nb = 2048, 32
+    p = jnp.asarray(rng.standard_normal((m, nb)).astype(np.float32))
+    y, t, _ = hr_panel(p, interpret=True)
+    c = jnp.asarray(rng.standard_normal((m, 8)).astype(np.float32))
+    out = np.asarray(
+        _apply_block_t(y, t, c, jax.lax.Precision.HIGHEST, jnp.float32,
+                       trans=True, interpret=True),
+        np.float64,
+    )
+    y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
+    ref = np.asarray(c, np.float64) - y64 @ (t64.T @ (y64.T @ np.asarray(c, np.float64)))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6

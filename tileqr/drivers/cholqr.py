@@ -54,6 +54,46 @@ def _bdot(x, y, contract, precision, dt):
     return out.astype(dt)
 
 
+def bdot_pair_rows(x, y, precision, dt, blk: int = 512, cap_bytes: int = 1 << 28):
+    """xᵀ·y contracting the ROW dim of (B, m, p) × (B, m, q) → (B, p, q)
+    with PAIRWISE (binary-tree) block accumulation: block partials from one
+    batched matmul, tree-summed in the accumulation dtype. A single fp32
+    contraction accumulates the m terms sequentially (error ~ √m·eps — the
+    measured √m backward-error growth of the hr/CholeskyQR paths,
+    BASELINE.md r3 pairwise probe: 7.4e-07 → 3.3e-07 at 8192² with this in
+    all tall-contraction sites); the tree form's error is ~ √(blk + log m)·
+    eps. nblk is capped so the materialized partials stay under
+    ``cap_bytes`` (very tall inputs take proportionally taller blocks —
+    config 3's 2²⁰ rows land at nblk=256, blk=4096)."""
+    b, m, p = x.shape
+    q = y.shape[2]
+    itemsize = 8 if acc_type(dt) == jnp.float64 else 4
+    nblk = min(m // blk, max(1, cap_bytes // max(1, b * p * q * itemsize)))
+    if nblk < 2:
+        return _bdot(x, y, ((1,), (1,)), precision, dt)
+    be = (m // nblk) // 8 * 8
+    body = nblk * be
+    px = x[:, :body].reshape(b, nblk, be, p)
+    py = y[:, :body].reshape(b, nblk, be, q)
+    parts = jax.lax.dot_general(
+        px, py, (((2,), (2,)), ((0, 1), (0, 1))),
+        precision=precision, preferred_element_type=acc_type(dt),
+    )  # (B, nblk, p, q)
+    if body < m:
+        tail = jax.lax.dot_general(
+            x[:, body:], y[:, body:], (((1,), (1,)), ((0,), (0,))),
+            precision=precision, preferred_element_type=acc_type(dt),
+        )
+        parts = jnp.concatenate([parts, tail[:, None]], axis=1)
+    while parts.shape[1] > 1:
+        n2 = parts.shape[1] // 2
+        s = parts[:, 0 : 2 * n2 : 2] + parts[:, 1 : 2 * n2 : 2]
+        if parts.shape[1] % 2:
+            s = jnp.concatenate([s, parts[:, 2 * n2 :]], axis=1)
+        parts = s
+    return parts[:, 0].astype(dt)
+
+
 def _mk_potrf_kernel(bp: int, precision):
     def kernel(g_ref, r_ref):
         _, g, n, _n2 = g_ref.shape
@@ -275,8 +315,13 @@ def cholqr2_batched(
     hi = resolve_precision(precision)
     eye = jnp.eye(n, dtype=dt)
 
-    at_dims = ((1,), (1,))  # contract row dim of both -> AᵀA
-    g = _bdot(a, a, at_dims, hi, dt)  # (B, n, n) gram
+    # Tall contractions (gram, Q1 gram, final R) accumulate PAIRWISE: the
+    # sequential fp32 accumulation over m rows is where the hr/CholeskyQR
+    # paths' measured √m backward-error growth lives (BASELINE.md r3
+    # pairwise probe — V1 panel grams alone: 7.4e-07 → 6.8e-07 at 8192²).
+    # Short batches (config 4's m=128) fall back to the plain contraction
+    # inside bdot_pair_rows, so the batched path is unchanged.
+    g = bdot_pair_rows(a, a, hi, dt)  # (B, n, n) gram
     if potrf_impl == "xla":
         r1 = potrf_batched_xla(g, precision=precision)
     else:
@@ -302,7 +347,7 @@ def cholqr2_batched(
         q1 = _apply_rinv(a, dinv, pows, hi)
 
     # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
-    e = _bdot(q1, q1, at_dims, hi, dt) - eye
+    e = bdot_pair_rows(q1, q1, hi, dt) - eye
     u = _up_half(e)
     for _ in range(correction_iters):
         utu = _bdot(jnp.swapaxes(u, 1, 2), u, ((2,), (1,)), hi, dt)
@@ -314,7 +359,7 @@ def cholqr2_batched(
     q = _bdot(q1, w, ((2,), (1,)), hi, dt)
 
     # final R from the corrected Q: residual rides Q's orthogonality only
-    r = _bdot(q, a, ((1,), (1,)), hi, dt)
+    r = bdot_pair_rows(q, a, hi, dt)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
     r = jnp.where(rows <= cols, r, jnp.zeros_like(r))

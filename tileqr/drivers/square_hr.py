@@ -124,7 +124,18 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
             return panel_apply(
                 y, t, c, trans=trans, precision="b3", interpret=interpret
             )
-    w = _dot(jnp.transpose(y), c, prec, dt)
+    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= 1024:
+        # narrow tall targets (lstsq/Qᵀb, orgqr windows, vector applies):
+        # pairwise block accumulation of W = YᵀC kills the √m term of the
+        # apply chain's error (BASELINE.md r3 pairwise probe V4) for a few
+        # MB of block partials — cheap at this width, unjustified on the
+        # wide trailing update (which the Kahan-compensated Pallas kernel
+        # covers instead).
+        from tileqr.drivers.cholqr import bdot_pair_rows
+
+        w = bdot_pair_rows(y[None], c[None], prec, dt)[0]
+    else:
+        w = _dot(jnp.transpose(y), c, prec, dt)
     tm = jnp.transpose(t) if trans else t
     w = _dot(tm, w, prec, dt)
     return c - _dot(y, w, prec, dt)

@@ -44,15 +44,31 @@ from tileqr.kernels.common import (
 )
 
 
+def _kahan_add(acc_ref, comp_ref, val):
+    """Compensated accumulation acc += val across grid steps: the W
+    projection sums m/mr block partials sequentially in fp32, which is the
+    √(m/mr)·eps term of the hr paths' measured √m backward-error growth
+    (BASELINE.md r3 pairwise probe). Kahan's compensation drops the
+    cross-block term to O(eps) for 3 VPU adds per block — noise next to
+    the MXU contraction. Mosaic emits the float ops as written (no
+    reassociation), so the (t − acc) − y cancellation is preserved;
+    pinned by test_panel_apply_kahan_accumulation."""
+    y = val - comp_ref[...]
+    t = acc_ref[...] + y
+    comp_ref[...] = (t - acc_ref[...]) - y
+    acc_ref[...] = t
+
+
 def _mk_w_kernel(precision):
-    def kernel(tm_ref, y_ref, c_ref, w_ref, acc_ref):
+    def kernel(tm_ref, y_ref, c_ref, w_ref, acc_ref, comp_ref):
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
 
-        acc_ref[...] += dot_t(y_ref[...], c_ref[...], precision)
+        _kahan_add(acc_ref, comp_ref, dot_t(y_ref[...], c_ref[...], precision))
 
         @pl.when(i == pl.num_programs(1) - 1)
         def _fold_t():
@@ -105,7 +121,10 @@ def _panel_apply_call(y, tm, c, trans, precision, interpret, mr, nc):
             (nb, nc), lambda j, i: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nb, n), dt),
-        scratch_shapes=[pltpu.VMEM((nb, nc), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb, nc), jnp.float32),  # acc
+            pltpu.VMEM((nb, nc), jnp.float32),  # Kahan compensation
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
@@ -154,23 +173,9 @@ def panel_apply(y, t, c, trans: bool = True, precision: str = "b3",
     )
 
 
-def _mk_w_carry_kernel(precision):
-    def kernel(tm_ref, y_ref, c_ref, w_ref, acc_ref):
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _init():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        acc_ref[...] += dot_t(y_ref[...], c_ref[...], precision)
-
-        @pl.when(i == pl.num_programs(1) - 1)
-        def _fold_t():
-            w_ref[...] = dot(
-                tm_ref[...], acc_ref[...].astype(tm_ref.dtype), "highest"
-            )
-
-    return kernel
+# same accumulation contract as the value-level W kernel (the carry form
+# differs only in how C blocks are addressed, which lives in the BlockSpecs)
+_mk_w_carry_kernel = _mk_w_kernel
 
 
 def panel_apply_carry(y, t, carry, k: int, nb: int, trans: bool = True,
@@ -237,7 +242,10 @@ def panel_apply_carry(y, t, carry, k: int, nb: int, trans: bool = True,
             (nb, nc), lambda j, i: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nb, n), dt),
-        scratch_shapes=[pltpu.VMEM((nb, nc), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb, nc), jnp.float32),  # acc
+            pltpu.VMEM((nb, nc), jnp.float32),  # Kahan compensation
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
@@ -274,14 +282,15 @@ def panel_apply_carry(y, t, carry, k: int, nb: int, trans: bool = True,
 
 
 def _mk_project_kernel(precision):
-    def kernel(y_ref, c_ref, w_ref, acc_ref):
+    def kernel(y_ref, c_ref, w_ref, acc_ref, comp_ref):
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
 
-        acc_ref[...] += dot_t(y_ref[...], c_ref[...], precision)
+        _kahan_add(acc_ref, comp_ref, dot_t(y_ref[...], c_ref[...], precision))
 
         @pl.when(i == pl.num_programs(1) - 1)
         def _out():
@@ -306,7 +315,10 @@ def _panel_project_call(y, c, precision, interpret, mr, nc):
             (nb, nc), lambda j, i: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nb, n), c.dtype),
-        scratch_shapes=[pltpu.VMEM((nb, nc), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb, nc), jnp.float32),  # acc
+            pltpu.VMEM((nb, nc), jnp.float32),  # Kahan compensation
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
