@@ -72,6 +72,13 @@ from tileqr.kernels.modlu import modified_lu
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _gram_pair(x, y, dt):
+    """Local xᵀ·y with pairwise block accumulation (see _cholqr2_psum)."""
+    from tileqr.drivers.cholqr import bdot_pair_rows
+
+    return bdot_pair_rows(x[None], y[None], _HI, dt)[0]
+
+
 class ShardedHRFactors(NamedTuple):
     """Distributed whole-panel compact-WY factors (gram-panel hr driver).
 
@@ -107,10 +114,13 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
 
     p: (lm, nb) local rows (masked: zeros outside the window). Returns
     (q local rows, R replicated). All matmuls HIGHEST — the factors define
-    the factorization (drivers/cholqr.py Q1 precision lesson)."""
+    the factorization (drivers/cholqr.py Q1 precision lesson). The LOCAL
+    tall contractions accumulate pairwise (bdot_pair_rows) for the same
+    √m reason as the single-chip cholqr2 (BASELINE.md r3 pairwise probe);
+    the psum across 'rows' is already a device-level tree."""
     dt = p.dtype
     eye = jnp.eye(nb, dtype=dt)
-    g = jax.lax.psum(_dot(jnp.transpose(p), p, _HI, dt), "rows")
+    g = jax.lax.psum(_gram_pair(p, p, dt), "rows")
     r1 = potrf_batched(
         g[None], group=1, precision="highest", interpret=interpret
     )[0]
@@ -118,7 +128,7 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     q1 = _dot(p, s1, _HI, dt)
     # matmul-only orthogonality correction (one nb² psum per round of the
     # gram; the iteration itself is replicated nb³ work)
-    e = jax.lax.psum(_dot(jnp.transpose(q1), q1, _HI, dt), "rows") - eye
+    e = jax.lax.psum(_gram_pair(q1, q1, dt), "rows") - eye
     u = _up_half(e[None])[0]
     for _ in range(correction_iters):
         u = _up_half((e - _dot(jnp.transpose(u), u, _HI, dt))[None])[0]
@@ -126,7 +136,7 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     w = eye - _dot(u, w, _HI, dt)
     w = eye - _dot(u, w, _HI, dt)
     q = _dot(q1, w, _HI, dt)
-    r = jnp.triu(jax.lax.psum(_dot(jnp.transpose(q), p, _HI, dt), "rows"))
+    r = jnp.triu(jax.lax.psum(_gram_pair(q, p, dt), "rows"))
     return q, r
 
 
