@@ -66,13 +66,13 @@ def test_unpadded_shape(rng):
     # multiple of nb·pr / nb·pc) at a quarter of the interpret-mode
     # pallas-call count of the old (4, 2)/100×70 version (204 s → fast tier)
     cfg = QRConfig(nb=8, mesh_shape=(2, 2))
-    a = rng.standard_normal((36, 22)).astype(np.float32)
+    a = rng.standard_normal((20, 14)).astype(np.float32)
     r = np.asarray(qr_sharded(a, config=cfg)).astype(np.float64)
-    assert r.shape == (36, 22)
+    assert r.shape == (20, 14)
     _, r_np = np.linalg.qr(a.astype(np.float64))
-    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r[:22]))
+    s = np.sign(np.diag(r_np)) * np.sign(np.diag(r[:14]))
     s[s == 0] = 1
-    assert np.linalg.norm(r[:22] * s[:, None] - r_np) / np.linalg.norm(r_np) < 5e-5
+    assert np.linalg.norm(r[:14] * s[:, None] - r_np) / np.linalg.norm(r_np) < 5e-5
 
 
 @needs_8

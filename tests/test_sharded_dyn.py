@@ -26,7 +26,11 @@ needs_8 = pytest.mark.skipif(
 @pytest.mark.parametrize(
     "mesh_shape",
     [
-        (2, 2),
+        # ALL slow: the static driver's interpret run dominates (147 s even
+        # at the (2,2)/32×24 minimum); dynamic-driver correctness keeps fast
+        # coverage through the numpy-oracle tests below, and the dyn≡static
+        # equivalence runs in the slow tier (VERDICT r2 weak-#3 budget)
+        pytest.param((2, 2), marks=pytest.mark.slow),
         pytest.param((4, 2), marks=pytest.mark.slow),
         pytest.param((1, 8), marks=pytest.mark.slow),
     ],
@@ -96,7 +100,7 @@ def test_dyn_device_native_jit_end_to_end(rng):
     with no device_get in the driver path; outputs are device arrays."""
     mesh = jax.make_mesh((4, 2), ("rows", "cols"))
     cfg = QRConfig(nb=8, ib=8)
-    a = rng.standard_normal((64, 64)).astype(np.float32)
+    a = rng.standard_normal((32, 32)).astype(np.float32)
 
     @jax.jit
     def go(a):
@@ -113,9 +117,11 @@ def test_dyn_device_native_jit_end_to_end(rng):
 
 @needs_8
 def test_dyn_deterministic(rng):
-    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
-    cfg = QRConfig(nb=8, ib=8)
-    a = rng.standard_normal((64, 64)).astype(np.float32)
+    # smallest mesh with real collectives on both axes; interpret cost
+    # scales with simulated-device count × panel count (fast-suite budget)
+    mesh = jax.make_mesh((2, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=(2, 2))
+    a = rng.standard_normal((32, 24)).astype(np.float32)
     r1 = np.asarray(assemble_r_sharded_dyn(qr_sharded_factor_dyn(a, mesh, cfg), mesh))
     r2 = np.asarray(assemble_r_sharded_dyn(qr_sharded_factor_dyn(a, mesh, cfg), mesh))
     assert (r1 == r2).all()
@@ -127,7 +133,7 @@ def test_qr_sharded_auto_routes_dynamic(rng):
     flat-buffer factors and agree with the oracle."""
     # routing semantics only — smallest mesh with a real tree (pr = 2)
     cfg = QRConfig(nb=8, ib=8, mesh_shape=(2, 1), driver="dynamic")
-    a = rng.standard_normal((48, 32)).astype(np.float32)
+    a = rng.standard_normal((24, 16)).astype(np.float32)
     f = qr_sharded(a, config=cfg, mode="factor")
     assert isinstance(f, ShardedDynFactors)
     r = np.asarray(assemble_r_sharded(f), np.float64)

@@ -36,7 +36,7 @@ def _relerr_vs_numpy_r(a, r):
 def test_hr_sharded_square(rng, mesh_shape):
     mesh = jax.make_mesh(mesh_shape, ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=mesh_shape)
-    a = rng.standard_normal((128, 128)).astype(np.float32)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
     r = np.asarray(assemble_r_sharded_hr(f, mesh))
     assert r.shape == a.shape
@@ -67,8 +67,8 @@ def test_hr_sharded_apply_q_roundtrip(rng):
     """Q (Qᵀ C) = C: the apply path is its own inverse pair."""
     mesh = jax.make_mesh((4, 2), ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=(4, 2))
-    a = rng.standard_normal((96, 64)).astype(np.float32)
-    c = rng.standard_normal((96, 32)).astype(np.float32)
+    a = rng.standard_normal((64, 32)).astype(np.float32)
+    c = rng.standard_normal((64, 16)).astype(np.float32)
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
     qtc = apply_q_sharded_hr(f, c, mesh, trans=True, config=cfg)
     back = np.asarray(apply_q_sharded_hr(f, np.asarray(qtc), mesh, trans=False, config=cfg))
@@ -76,9 +76,12 @@ def test_hr_sharded_apply_q_roundtrip(rng):
 
 
 @needs_8
+@pytest.mark.slow
 def test_hr_sharded_matches_single_device_hr(rng):
     """Same panel algebra as the single-device hr driver ⇒ same R up to
-    psum-split reduction order (gated tight, not bitwise)."""
+    psum-split reduction order (gated tight, not bitwise). Slow tier: the
+    interpret-mode single-device twin dominates (92 s); fast correctness
+    coverage rides the numpy-oracle tests above."""
     from tileqr.drivers.square_hr import pad_for_hr, qr_hr
 
     mesh = jax.make_mesh((4, 2), ("rows", "cols"))
@@ -95,9 +98,10 @@ def test_hr_sharded_matches_single_device_hr(rng):
 
 @needs_8
 def test_hr_sharded_deterministic(rng):
-    mesh = jax.make_mesh((4, 2), ("rows", "cols"))
-    cfg = QRConfig(nb=16, mesh_shape=(4, 2))
-    a = rng.standard_normal((64, 64)).astype(np.float32)
+    # smallest mesh with real psums on both axes (fast-suite budget)
+    mesh = jax.make_mesh((2, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(2, 2))
+    a = rng.standard_normal((32, 32)).astype(np.float32)
     r1 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
     r2 = np.asarray(assemble_r_sharded_hr(qr_sharded_factor_hr(a, mesh=mesh, config=cfg), mesh))
     assert np.array_equal(r1, r2)
@@ -111,7 +115,7 @@ def test_hr_sharded_api_routing(rng):
     # (interpret shard_map cost scales with simulated-device count)
     mesh = jax.make_mesh((2, 1), ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr")
-    a = rng.standard_normal((32, 32)).astype(np.float32)
+    a = rng.standard_normal((32, 16)).astype(np.float32)
     r = np.asarray(qr_sharded(a, mesh=mesh, config=cfg))
     assert _relerr_vs_numpy_r(a, r) < 5e-5
     f = qr_sharded(a, mesh=mesh, config=cfg, mode="factor")
