@@ -51,6 +51,40 @@ from tileqr.kernels.common import acc_type, resolve_precision
 from tileqr.kernels.modlu import modified_lu
 
 
+# targets at most this wide take the pairwise W projection in the XLA
+# apply path (see _apply_block_t); wide trailing updates use the SPLIT-K
+# form below instead — the batched-partial pairwise tree measured 2× slower
+# at 16384² (474.97 vs 235.84 ms: the (nblk, be, p)×(nblk, be, q) batched
+# matmul + 264 MB partial stacks break XLA's producer fusion), while S flat
+# dots + a balanced add keep the fused-dot lowering (BASELINE.md r3).
+_W_PAIR_MAX_COLS = 1024
+# wide-W split count: error on the projection drops ~√S for S-1 extra
+# (nb, q) partial buffers; 4 halves the √m term
+_W_SPLITK = 4
+
+
+def _w_splitk(y, c, prec, dt, s: int = None):
+    """W = Yᵀ·C as S flat row-block dots + a balanced add tree: same HBM
+    reads as one dot (each block dot reads its own row slice), fusion-
+    friendly flat matmuls, accumulation error ~√(m/S) instead of √m."""
+    m = y.shape[0]
+    s = s or _W_SPLITK
+    bounds = [((i * m) // s) // 8 * 8 for i in range(s)] + [m]
+    parts = [
+        jax.lax.dot_general(
+            y[b0:b1], c[b0:b1], (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=acc_type(dt),
+        )
+        for b0, b1 in zip(bounds[:-1], bounds[1:])
+        if b1 > b0
+    ]
+    while len(parts) > 1:
+        parts = [a + b for a, b in zip(parts[::2], parts[1::2])] + (
+            [parts[-1]] if len(parts) % 2 else []
+        )
+    return parts[0].astype(dt)
+
+
 def _dot(a, b, prec, dt):
     from tileqr.kernels.common import B3, dot_b3_xla
 
@@ -124,7 +158,7 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
             return panel_apply(
                 y, t, c, trans=trans, precision="b3", interpret=interpret
             )
-    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= 1024:
+    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
         # narrow tall targets (lstsq/Qᵀb, orgqr windows, vector applies):
         # pairwise block accumulation of W = YᵀC kills the √m term of the
         # apply chain's error (BASELINE.md r3 pairwise probe V4) for a few
@@ -134,6 +168,10 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
         from tileqr.drivers.cholqr import bdot_pair_rows
 
         w = bdot_pair_rows(y[None], c[None], prec, dt)[0]
+    elif prec != B3 and dt == jnp.float32 and y.shape[0] >= 4096:
+        # wide trailing updates / wide applies: split-K projection (see
+        # _w_splitk) — the V2/V4 accumulation fix at fused-dot speed
+        w = _w_splitk(y, c, prec, dt)
     else:
         w = _dot(jnp.transpose(y), c, prec, dt)
     tm = jnp.transpose(t) if trans else t
