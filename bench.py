@@ -50,10 +50,13 @@ CHAIN = int(os.environ.get("TILEQR_BENCH_CHAIN", "3"))
 # "static" (trace-unrolled, fastest steady-state, needs the compile cache at
 # 16384²) or "dynamic" (O(1)-kernel driver, compiles in seconds at any size)
 DRIVER = os.environ.get("TILEQR_BENCH_DRIVER", "static")
-# "hh" (tiled Householder, unconditionally stable) or "hr" (CholeskyQR2
-# panels + Householder reconstruction — matmul-only panels, fastest
-# measured square path, cond(A) ≲ 1e3 contract; BASELINE.md r3)
-METHOD = os.environ.get("TILEQR_BENCH_METHOD", "hh")
+# "hr" (CholeskyQR2 panels + Householder reconstruction — matmul-only
+# panels; with the r3 pairwise/Kahan/split-K accumulation fixes it is BOTH
+# the fastest measured square path AND inside the ≤1e-6 gate at 16384²:
+# 242.18 ms / 24.21 TFLOP/s, relerr 4.41e-07, BASELINE.md r3; cond(A) ≲ 1e3
+# contract — the benchmark's gaussian input is far inside it) or "hh"
+# (tiled Householder, unconditionally stable, 280.5 ms / 20.91 at 16384²)
+METHOD = os.environ.get("TILEQR_BENCH_METHOD", "hr")
 
 
 def qr_flops(m, n):

@@ -313,3 +313,42 @@ def test_apply_block_narrow_pairwise_accuracy(rng):
     y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
     ref = np.asarray(c, np.float64) - y64 @ (t64.T @ (y64.T @ np.asarray(c, np.float64)))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_w_splitk_matches_reference(rng):
+    """Split-K W = YᵀC (drivers/square_hr._w_splitk): S flat row-block dots
+    + a balanced add tree must agree with a float64 reference on ragged
+    row counts (bounds are rounded down to sublane multiples; the guard
+    drops zero-width blocks for tiny m)."""
+    from tileqr.drivers.square_hr import _w_splitk
+
+    prec = jax.lax.Precision.HIGHEST
+    for m in (4104, 4096, 24):  # ragged, aligned, fewer rows than 8*S
+        y = jnp.asarray(rng.standard_normal((m, 16)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((m, 40)).astype(np.float32))
+        w = np.asarray(_w_splitk(y, c, prec, jnp.float32), np.float64)
+        ref = np.asarray(y, np.float64).T @ np.asarray(c, np.float64)
+        assert np.abs(w - ref).max() / np.abs(ref).max() < 1e-6, m
+
+
+def test_apply_block_wide_splitk_accuracy(rng):
+    """Wide targets (> _W_PAIR_MAX_COLS) on tall panels (m ≥ 4096) route
+    W = YᵀC through the split-K projection in _apply_block_t — the branch
+    that made the static hr driver gate-grade at 16384² (BASELINE.md r3).
+    The apply must stay correct vs a float64 reference through it."""
+    from tileqr.drivers.square_hr import (
+        _W_PAIR_MAX_COLS, _apply_block_t, hr_panel,
+    )
+
+    m, nb, q = 4096, 32, _W_PAIR_MAX_COLS + 32
+    p = jnp.asarray(rng.standard_normal((m, nb)).astype(np.float32))
+    y, t, _ = hr_panel(p, interpret=True)
+    c = jnp.asarray(rng.standard_normal((m, q)).astype(np.float32))
+    out = np.asarray(
+        _apply_block_t(y, t, c, jax.lax.Precision.HIGHEST, jnp.float32,
+                       trans=True, interpret=True),
+        np.float64,
+    )
+    y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
+    ref = np.asarray(c, np.float64) - y64 @ (t64.T @ (y64.T @ np.asarray(c, np.float64)))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
