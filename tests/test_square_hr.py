@@ -352,3 +352,96 @@ def test_apply_block_wide_splitk_accuracy(rng):
     y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
     ref = np.asarray(c, np.float64) - y64 @ (t64.T @ (y64.T @ np.asarray(c, np.float64)))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_hr_stats_bitwise_and_healthy(rng):
+    """stats=True is a pure observer: (r, panels) bitwise-unchanged on both
+    drivers, and gaussian inputs report a health (round-1 orthogonality
+    defect) orders of magnitude inside the hr_guard_tau gate."""
+    from tileqr.drivers.square_hr import qr_hr_chunked
+
+    a = rng.standard_normal((160, 128)).astype(np.float32)
+    ap, _ = pad_for_hr(jnp.asarray(a), 32)
+    r0, p0 = qr_hr(ap, 32, interpret=True)
+    r1, p1, h = qr_hr(ap, 32, interpret=True, stats=True)
+    assert (np.asarray(r0) == np.asarray(r1)).all()
+    for (y0, t0), (y1, t1) in zip(p0, p1):
+        assert (np.asarray(y0) == np.asarray(y1)).all()
+        assert (np.asarray(t0) == np.asarray(t1)).all()
+    assert float(h) < 1e-3  # measured ~4e-7; tau default is 5e-2
+    r2, _, h2 = qr_hr_chunked(
+        jnp.asarray(np.asarray(ap)), 32, interpret=True, stats=True,
+        seg_panels=2,
+    )
+    assert (np.asarray(r0) == np.asarray(r2)).all()
+    assert float(h2) == float(h)  # same panel math, same defect
+
+
+def _near_singular(rng, m=160, n=128):
+    """A panel-0 breakdown input: a near-duplicate column pair makes the
+    panel gram numerically singular (cond² ≈ 1e14 ≫ 1/eps32)."""
+    b = rng.standard_normal((m, n)).astype(np.float32)
+    b[:, 1] = b[:, 0] * (1 + 1e-7)
+    return b
+
+
+def test_hr_guard_fallback(rng):
+    """Default hr_guard='fallback': breakdown input warns and refactors via
+    the unconditionally stable Householder path — the result is
+    acceptance-grade where raw hr would be garbage."""
+    b = _near_singular(rng)
+    with pytest.warns(UserWarning, match="hr guard"):
+        f = tileqr.qr_factor(b, QRConfig(nb=32, square_method="hr"))
+    assert type(f).__name__ == "QRFactors"  # hh factors, not HRFactors
+    with pytest.warns(UserWarning, match="hr guard"):
+        q, r = tileqr.qr(b, config=QRConfig(nb=32, square_method="hr"))
+    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), b) < 1e-6
+
+
+def test_hr_guard_warn_and_off(rng):
+    """hr_guard='warn' keeps the hr factors (health attached, past tau);
+    'off' runs no check and attaches no health."""
+    b = _near_singular(rng)
+    cfg = QRConfig(nb=32, square_method="hr", hr_guard="warn")
+    with pytest.warns(UserWarning, match="hr guard"):
+        f = tileqr.qr_factor(b, cfg)
+    assert type(f).__name__ == "HRFactors"
+    h = float(f.health)
+    assert not (h <= cfg.hr_guard_tau)  # NaN or ≫ tau, either trips
+    f2 = tileqr.qr_factor(b, QRConfig(nb=32, square_method="hr", hr_guard="off"))
+    assert type(f2).__name__ == "HRFactors" and f2.health is None
+
+
+def test_hr_guard_healthy_keeps_hr(rng):
+    """Well-conditioned input under the default guard: stays hr, no
+    warning, health is a tiny concrete scalar on the factors."""
+    a = rng.standard_normal((160, 128)).astype(np.float32)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning fails the test
+        f = tileqr.qr_factor(a, QRConfig(nb=32, square_method="hr"))
+    assert type(f).__name__ == "HRFactors"
+    assert float(f.health) < 1e-3
+
+
+def test_hr_guard_skipped_under_jit(rng):
+    """Inside a jax.jit trace health is a tracer — the host check must be
+    skipped silently (no TracerBoolConversionError), with the device
+    scalar still flowing for callers to gate on."""
+    b = _near_singular(rng)
+    cfg = QRConfig(nb=32, square_method="hr")
+
+    @jax.jit
+    def f(x):
+        fac = tileqr.qr_factor(x, cfg)
+        return fac.r, fac.health
+
+    r, h = f(jnp.asarray(b))
+    assert r.shape == (128, 128)
+    assert not (float(h) <= cfg.hr_guard_tau)  # signal survives the jit
+
+
+def test_hr_guard_config_validation():
+    with pytest.raises(ValueError):
+        QRConfig(hr_guard="nope")

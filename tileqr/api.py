@@ -77,19 +77,28 @@ jax.tree_util.register_pytree_node(
 class HRFactors(NamedTuple):
     """Factors from the CholeskyQR2+reconstruction square path
     (QRConfig.square_method="hr", drivers/square_hr.py): per-panel whole-panel
-    compact-WY pairs (Y_k, T_k) plus the assembled R (padded K × N_pad)."""
+    compact-WY pairs (Y_k, T_k) plus the assembled R (padded K × N_pad).
+
+    ``health`` (device scalar, present unless QRConfig.hr_guard="off") is
+    the max over panels of the CholeskyQR round-1 orthogonality defect
+    ‖Q₁ᵀQ₁ − I‖_max — the hr conditioning monitor. Values ≲ 1e-3 are deep
+    inside the hr contract; > QRConfig.hr_guard_tau (or NaN) means a panel
+    broke the cond²·eps limit and the factors should not be trusted (the
+    api-level guard warns/falls back on this; inside a jax.jit trace the
+    scalar is carried here for the caller to gate on)."""
 
     r: jnp.ndarray
     panels: Tuple  # ((Y_0, T_0), (Y_1, T_1), ...), Y_k: (M_pad − k·nb, nb)
     nb: int
     shape: Tuple[int, int]  # original (M, N)
     scale: object = 1.0  # see QRFactors.scale
+    health: object = None  # device scalar or None (hr_guard="off")
 
 
 jax.tree_util.register_pytree_node(
     HRFactors,
-    lambda f: ((f.r, f.panels, f.scale), (f.nb, f.shape)),
-    lambda aux, ch: HRFactors(ch[0], ch[1], *aux, ch[2]),
+    lambda f: ((f.r, f.panels, f.scale, f.health), (f.nb, f.shape)),
+    lambda aux, ch: HRFactors(ch[0], ch[1], *aux, ch[2], ch[3]),
 )
 
 
@@ -117,6 +126,7 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # and XLA flushes it to zero (caught by test_prescale_near_fp32_max)
         a = a / scale
     if cfg.square_method == "hr":
+        stats = cfg.hr_guard != "off"
         ap, _ = pad_for_hr(a, cfg.nb)
         if cfg.resolve_driver(m, n) == "dynamic" or cfg.precision == "b3":
             # bounded-compile twin (same policy as the hh path): the
@@ -126,16 +136,42 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
             # routes here: the chunked driver hosts the in-place Pallas
             # apply (kernels/panel_apply.py) that makes b3 faster than
             # highest — the XLA-level emulation is slower (BASELINE.md r3)
-            r, panels = qr_hr_chunked(
+            out = qr_hr_chunked(
                 ap, cfg.nb, precision=cfg.precision,
-                interpret=resolve_interpret(cfg.interpret),
+                interpret=resolve_interpret(cfg.interpret), stats=stats,
             )
         else:
-            r, panels = qr_hr(
+            out = qr_hr(
                 ap, cfg.nb, precision=cfg.precision,
-                interpret=resolve_interpret(cfg.interpret),
+                interpret=resolve_interpret(cfg.interpret), stats=stats,
             )
-        return HRFactors(r, panels, cfg.nb, (m, n), scale)
+        health = out[2] if stats else None
+        f = HRFactors(out[0], out[1], cfg.nb, (m, n), scale, health)
+        # hr breakdown guard (QRConfig.hr_guard). The host check needs a
+        # concrete scalar: inside a jax.jit trace `health` is a tracer and
+        # the check is skipped — HRFactors.health still carries the device
+        # scalar for the caller to gate on (documented on HRFactors).
+        if health is None or isinstance(health, jax.core.Tracer):
+            return f
+        h = float(jax.device_get(health))
+        if h <= cfg.hr_guard_tau:  # NaN fails this comparison → guard trips
+            return f
+        import warnings
+
+        msg = (
+            f"tileqr hr guard: CholeskyQR2 round-1 orthogonality defect "
+            f"{h:.3e} exceeds hr_guard_tau={cfg.hr_guard_tau:.1e} — a panel "
+            f"broke the hr conditioning contract (cond(A) ≲ 1e3 in fp32)"
+        )
+        if cfg.hr_guard == "warn":
+            warnings.warn(msg + "; keeping the hr factors (hr_guard='warn').")
+            return f
+        warnings.warn(
+            msg + "; refactoring with the unconditionally stable "
+            "Householder path (hr_guard='fallback')."
+        )
+        # fall through to the hh path below: `a` is already prescaled and
+        # `scale` already captured, so the fallback reuses both
     ap, _ = pad_to_tiles(a, cfg.nb)
     if cfg.resolve_driver(m, n) == "dynamic":
         a_out, df = qr_tiled_dyn(

@@ -97,6 +97,27 @@ class QRConfig:
     # one nb×nb modified-LU kernel per panel — the fast path for
     # well-conditioned matrices, cond(A) ≲ 1e3 in fp32).
     square_method: str = "hh"
+    # hr breakdown guard (square_method="hr" only). The hr/CholeskyQR2 panel
+    # factorization has a conditioning contract (cond(panel)²·eps ≪ 1); each
+    # panel's round-1 orthogonality defect ‖Q₁ᵀQ₁ − I‖_max is a nearly-free
+    # breakdown monitor (an observer reduce on an already-computed
+    # intermediate — results are bitwise-unchanged). Policy when the max
+    # defect exceeds hr_guard_tau (or is NaN):
+    #   "fallback": warn and refactor with the unconditionally stable
+    #     Householder path (the hr work is discarded — breakdown is the
+    #     rare case, paying 2× there beats silently wrong factors);
+    #   "warn": warn, keep the hr factors (caller opted into the contract);
+    #   "off": no check (no host sync; also the behavior whenever qr_factor
+    #     is called inside a jax.jit trace, where a host check is
+    #     impossible — HRFactors.health still carries the device scalar).
+    hr_guard: str = "fallback"
+    # Guard threshold on ‖Q₁ᵀQ₁ − I‖_max. The correction round leaves
+    # O(‖E‖⁴) orthogonality error (truncated chol(I+E) iteration + cubic
+    # Neumann inverse), so ≤1e-6 backward error needs ‖E‖ ≲ 0.03–0.05;
+    # gaussian panels measure ‖E‖ ~ 1e-4 and true breakdowns blow past 1
+    # (or NaN), so the gate sits in a wide, empirically-calibrated gap
+    # (tests/test_square_hr.py guard tests).
+    hr_guard_tau: float = 0.05
     chunk: int = 4
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
@@ -134,6 +155,10 @@ class QRConfig:
         if self.square_method not in ("hh", "hr"):
             raise ValueError(
                 f"square_method={self.square_method!r} must be hh|hr"
+            )
+        if self.hr_guard not in ("fallback", "warn", "off"):
+            raise ValueError(
+                f"hr_guard={self.hr_guard!r} must be fallback|warn|off"
             )
 
     def resolve_driver(self, m: int, n: int) -> str:

@@ -292,7 +292,7 @@ def _up_half(e):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "group", "bp", "precision", "interpret",
-                     "correction_iters", "potrf_impl"),
+                     "correction_iters", "potrf_impl", "stats"),
 )
 def cholqr2_batched(
     a,
@@ -303,12 +303,22 @@ def cholqr2_batched(
     interpret: bool | None = None,
     correction_iters: int = 2,
     potrf_impl: str = "pallas",
+    stats: bool = False,
 ):
     """Batched CholeskyQR2: a (B, m, n), m >= n → (Q (B, m, n), R (B, n, n))
     or R only (mode="r"). See module docstring for the pipeline and the
     conditioning caveat. potrf_impl: "pallas" (grouped serial kernel,
     11.2 ms chained at config 4 — the measured default) or "xla"
-    (recursive blocked; more small-op chain overhead, 21.6 ms)."""
+    (recursive blocked; more small-op chain overhead, 21.6 ms).
+
+    stats=True appends ``emax`` = max over the batch of ‖Q₁ᵀQ₁ − I‖_max —
+    the round-1 orthogonality defect, ≈ cond(A)²·eps. This is the natural
+    breakdown detector for the CholeskyQR family: the correction round
+    restores orthogonality to fp32 only while ‖E‖ ≪ 1 (the truncated
+    chol(I+E) iteration + cubic Neumann inverse leave O(‖E‖⁴)), and a POTRF
+    breakdown (clamped/NaN pivot) sends ‖E‖ → huge/NaN. The reduce reuses
+    the already-computed E — no extra passes over A. Scalar is emitted with
+    NaN-propagating max so a NaN anywhere trips a `<= tau` gate."""
     interp = resolve_interpret(interpret)
     b, m, n = a.shape
     dt = a.dtype
@@ -348,6 +358,14 @@ def cholqr2_batched(
 
     # matmul-only second round: chol(I+E) = I + U, U = up(E - UᵀU) iterated
     e = bdot_pair_rows(q1, q1, hi, dt) - eye
+    if stats:
+        # jnp.max is NaN-propagating (unlike lax.max's ordered variants via
+        # reduce_max? it is reduce with max — NaN propagates on TPU); make
+        # it explicit: a NaN in E must yield emax=NaN
+        ae = jnp.abs(e)
+        emax = jnp.where(
+            jnp.any(jnp.isnan(e)), jnp.asarray(jnp.nan, dt), jnp.max(ae)
+        )
     u = _up_half(e)
     for _ in range(correction_iters):
         utu = _bdot(jnp.swapaxes(u, 1, 2), u, ((2,), (1,)), hi, dt)
@@ -364,5 +382,5 @@ def cholqr2_batched(
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
     r = jnp.where(rows <= cols, r, jnp.zeros_like(r))
     if mode == "r":
-        return r
-    return q, r
+        return (r, emax) if stats else r
+    return (q, r, emax) if stats else (q, r)

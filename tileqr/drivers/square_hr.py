@@ -120,18 +120,21 @@ def _reconstruct_yt(q, lu, d, dt):
     return y, t
 
 
-def hr_panel(panel, interpret, correction_iters: int = 2):
+def hr_panel(panel, interpret, correction_iters: int = 2, stats: bool = False):
     """Factor one (mk, nb) panel: returns (y (mk, nb), t (nb, nb),
-    r (nb, nb) with the reconstruction signs folded in)."""
+    r (nb, nb) with the reconstruction signs folded in). stats=True appends
+    the panel's CholeskyQR round-1 orthogonality defect ‖Q₁ᵀQ₁ − I‖_max —
+    the hr breakdown signal (see cholqr2_batched)."""
     dt = panel.dtype
-    q, r = cholqr2_batched(
+    out = cholqr2_batched(
         panel[None], mode="reduced", group=1, precision="highest",
-        interpret=interpret, correction_iters=correction_iters,
+        interpret=interpret, correction_iters=correction_iters, stats=stats,
     )
-    q, r = q[0], r[0]
+    q, r = out[0][0], out[1][0]
     lu, d = modified_lu(q[: r.shape[0]], interpret=interpret)
     y, t = _reconstruct_yt(q, lu, d, dt)
-    return y, t, d[:, None] * r
+    rk = d[:, None] * r
+    return (y, t, rk, out[2]) if stats else (y, t, rk)
 
 
 def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
@@ -181,7 +184,9 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "precision", "interpret", "barrier_every", "r_anchor"),
+    static_argnames=(
+        "nb", "precision", "interpret", "barrier_every", "r_anchor", "stats",
+    ),
 )
 def qr_hr(
     ap,
@@ -190,6 +195,7 @@ def qr_hr(
     interpret: bool = False,
     barrier_every: int = 8,
     r_anchor: str = "cholqr",
+    stats: bool = False,
 ):
     """Blocked hr QR of a padded (Mp, Np) matrix (both multiples of nb;
     column padding must be identity-augmented — see pad_for_hr).
@@ -205,7 +211,12 @@ def qr_hr(
         apply-chain/orthogonality rounding, not the R anchor. Kept for the
         A/B record.
 
-    Returns (r (K, Np) with K = min(Mp, Np), panels tuple of (Y_k, T_k))."""
+    Returns (r (K, Np) with K = min(Mp, Np), panels tuple of (Y_k, T_k));
+    stats=True appends ``health`` = max over panels of the CholeskyQR
+    round-1 orthogonality defect (hr breakdown signal — NaN/huge on a
+    panel whose cond²·eps ≳ 1; see cholqr2_batched). The (r, panels)
+    outputs are bitwise-unchanged by stats (the defect is a pure
+    observer reduce on an already-computed intermediate)."""
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
@@ -221,21 +232,31 @@ def qr_hr(
     # HBM OOM. With the eager copy-out, only two consecutive trailing
     # matrices are ever live.
     r = jnp.zeros((k_max * nb, npad), dt)
-    trail, r, panels = _hr_body(
-        ap, r, nb, 0, k_max, prec, dt, interpret, barrier_every, r_anchor
+    trail, r, panels, health = _hr_body(
+        ap, r, nb, 0, k_max, prec, dt, interpret, barrier_every, r_anchor,
+        stats=stats,
     )
+    if stats:
+        return r, tuple(panels), health
     return r, tuple(panels)
 
 
-def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_anchor):
+def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every,
+             r_anchor, stats=False):
     """Factor panels [k0, k0+kseg) of ``trail`` (the trailing window whose
     top-left corner is global (k0·nb, k0·nb)), writing finished R rows into
     the full-width ``r`` buffer at their global offsets. Returns the
-    remaining trailing window, the updated r, and the panel list."""
+    remaining trailing window, the updated r, the panel list, and the
+    running health max (None unless stats)."""
     panels = []
+    health = None
     for i in range(kseg):
         k = k0 + i
-        y, t, rk = hr_panel(trail[:, :nb], interpret)
+        if stats:
+            y, t, rk, emax = hr_panel(trail[:, :nb], interpret, stats=True)
+            health = emax if health is None else jnp.maximum(health, emax)
+        else:
+            y, t, rk = hr_panel(trail[:, :nb], interpret)
         if r_anchor == "panel":
             c = _apply_block_t(y, t, trail, prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
@@ -259,19 +280,19 @@ def _hr_body(trail, r, nb, k0, kseg, prec, dt, interpret, barrier_every, r_ancho
         if (k + 1) % max(1, barrier_every) == 0:
             trail, r = jax.lax.optimization_barrier((trail, r))
         panels.append((y, t))
-    return trail, r, panels
+    return trail, r, panels, health
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nb", "k0", "kseg", "precision", "interpret", "barrier_every",
-        "r_anchor", "use_kernel",
+        "r_anchor", "use_kernel", "stats",
     ),
     donate_argnums=(0,),
 )
 def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
-                r_anchor, use_kernel=False):
+                r_anchor, use_kernel=False, stats=False, health=None):
     """Factor panels [k0, k0+kseg) inside the full-size carry matrix. The
     carry is the SINGLE (Mp, Np) buffer and the ONLY loop state: finished R
     row blocks live at their global offsets (stale A values left of the
@@ -290,6 +311,15 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
     dt = carry.dtype
     panels = []
     rks = []
+
+    def panel_stats(pcol):
+        nonlocal health
+        if stats:
+            y, t, rk, emax = hr_panel(pcol, interpret, stats=True)
+            health = emax if health is None else jnp.maximum(health, emax)
+            return y, t, rk
+        return hr_panel(pcol, interpret)
+
     for i in range(kseg):
         k = k0 + i
         s = k * nb
@@ -307,7 +337,7 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
             # XLA path to fp32 rounding, not bitwise.
             from tileqr.kernels.panel_apply import panel_apply_carry
 
-            y, t, rk = hr_panel(carry[s:, s : s + nb], interpret)
+            y, t, rk = panel_stats(carry[s:, s : s + nb])
             carry = panel_apply_carry(
                 y, t, carry, k=k, nb=nb, trans=True, precision=precision,
                 interpret=interpret,
@@ -318,7 +348,7 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
             panels.append((y, t))
             continue
         win = carry[s:, s:]
-        y, t, rk = hr_panel(win[:, :nb], interpret)
+        y, t, rk = panel_stats(win[:, :nb])
         if r_anchor == "panel":
             c = _apply_block_t(y, t, win, prec, dt, trans=True, interpret=interpret)
             row = jnp.concatenate([jnp.triu(c[:nb, :nb]), c[:nb, nb:]], axis=1)
@@ -333,7 +363,7 @@ def _hr_segment(carry, nb, k0, kseg, precision, interpret, barrier_every,
             carry = jax.lax.optimization_barrier(carry)
         panels.append((y, t))
     rstack = jnp.stack(rks) if rks else None
-    return carry, tuple(panels), rstack
+    return carry, tuple(panels), rstack, health
 
 
 def qr_hr_chunked(
@@ -345,6 +375,7 @@ def qr_hr_chunked(
     barrier_every: int = 2,
     r_anchor: str = "cholqr",
     use_kernel=None,
+    stats: bool = False,
 ):
     """Bounded-compile hr driver: same algorithm and factor layout as
     ``qr_hr``, but the panel loop is split into ``seg_panels``-panel
@@ -380,12 +411,17 @@ def qr_hr_chunked(
     panels = []
     rstacks = []
     k0 = 0
+    # health folds INSIDE each segment executable (one jnp.maximum chain per
+    # segment, seeded with 0 so every segment shares one jit signature) —
+    # no per-segment eager dispatches through the device tunnel
+    health = jnp.zeros((), ap.dtype) if stats else None
     while k0 < k_max:
         kseg = min(seg_panels, k_max - k0)
-        carry, seg, rstack = _hr_segment(
+        carry, seg, rstack, health = _hr_segment(
             carry, nb=nb, k0=k0, kseg=kseg, precision=precision,
             interpret=interpret, barrier_every=barrier_every,
-            r_anchor=r_anchor, use_kernel=use_kernel,
+            r_anchor=r_anchor, use_kernel=use_kernel, stats=stats,
+            health=health,
         )
         panels.extend(seg)
         if rstack is not None:
@@ -399,6 +435,8 @@ def qr_hr_chunked(
         r = _finish_r_kernel(carry, jnp.concatenate(rstacks), nb, k_max)
     else:
         r = jnp.triu(carry[: k_max * nb])
+    if stats:
+        return r, tuple(panels), health
     return r, tuple(panels)
 
 
