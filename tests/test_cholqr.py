@@ -146,3 +146,50 @@ def test_bdot_pair_rows_cap_bytes(rng):
     ref = np.einsum("bmp,bmq->bpq", x.astype(np.float64), x.astype(np.float64))
     for out in (big, small):
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_tsqr_cholqr2_guard_fallback(rng):
+    """tsqr(strategy='cholqr2') on a breakdown input (near-duplicate
+    columns → gram numerically singular) must warn and fall back to the
+    unconditionally stable auto route, keeping the result accurate."""
+    import warnings
+
+    import pytest as _pytest
+
+    import tileqr
+    from tileqr import QRConfig
+
+    a = rng.standard_normal((512, 64)).astype(np.float32)
+    a[:, 1] = a[:, 0] * (1 + 1e-7)
+    cfg = QRConfig(nb=64)
+    with _pytest.warns(UserWarning, match="hr guard"):
+        q, r = tileqr.tsqr(a, mode="reduced", config=cfg, strategy="cholqr2")
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a) < 1e-5
+    assert np.linalg.norm(q64.T @ q64 - np.eye(64)) < 1e-4
+    # healthy input: no warning, cholqr2 result kept
+    b = rng.standard_normal((512, 64)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r2 = tileqr.tsqr(b, mode="r", config=cfg, strategy="cholqr2")
+    assert r2.shape == (64, 64)
+
+
+def test_qr_batched_cholqr2_guard_fallback(rng):
+    """qr_batched(batched_method='cholqr2') with ONE ill-conditioned batch
+    member (the documented square-gaussian-tail hazard, BASELINE.md r3:
+    a breakdown measured relerr 1e+57) must warn and re-route the whole
+    batch through the Householder kernels."""
+    import pytest as _pytest
+
+    import tileqr
+    from tileqr import QRConfig
+
+    a = rng.standard_normal((8, 64, 32)).astype(np.float32)
+    a[3, :, 1] = a[3, :, 0] * (1 + 1e-7)  # one breakdown member
+    cfg = QRConfig(nb=32, batched_method="cholqr2")
+    with _pytest.warns(UserWarning, match="hr guard"):
+        q, r = tileqr.qr_batched(a, config=cfg)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    rel = np.linalg.norm(q64 @ r64 - a, axis=(1, 2)) / np.linalg.norm(a, axis=(1, 2))
+    assert rel.max() < 1e-5  # EVERY member accurate, incl. the bad one

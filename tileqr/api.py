@@ -106,6 +106,32 @@ def _cfg(config: Optional[QRConfig]) -> QRConfig:
     return config if config is not None else QRConfig()
 
 
+def _guard_trips(health, cfg: QRConfig, where: str) -> bool:
+    """Host check of a CholeskyQR breakdown scalar (round-1 orthogonality
+    defect, see drivers/cholqr.cholqr2_batched stats). True ⇒ the defect
+    exceeds cfg.hr_guard_tau (or is NaN) and a warning was emitted; the
+    caller decides fallback vs keep per cfg.hr_guard. Inside a jax.jit
+    trace (tracer health) the check is impossible and returns False."""
+    if health is None or isinstance(health, jax.core.Tracer):
+        return False
+    h = float(jax.device_get(health))
+    if h <= cfg.hr_guard_tau:  # NaN fails the comparison → guard trips
+        return False
+    import warnings
+
+    action = (
+        "falling back to the unconditionally stable Householder path"
+        if cfg.hr_guard == "fallback"
+        else "keeping the CholeskyQR result (hr_guard='warn')"
+    )
+    warnings.warn(
+        f"tileqr hr guard [{where}]: CholeskyQR round-1 orthogonality "
+        f"defect {h:.3e} exceeds hr_guard_tau={cfg.hr_guard_tau:.1e} — the "
+        f"conditioning contract (cond ≲ 1e3 in fp32) is broken; {action}."
+    )
+    return True
+
+
 def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     """Factor A → packed tiled Householder form (no Q/R assembly)."""
     cfg = _cfg(config)
@@ -151,25 +177,8 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         # concrete scalar: inside a jax.jit trace `health` is a tracer and
         # the check is skipped — HRFactors.health still carries the device
         # scalar for the caller to gate on (documented on HRFactors).
-        if health is None or isinstance(health, jax.core.Tracer):
+        if not _guard_trips(health, cfg, "qr_factor/hr") or cfg.hr_guard != "fallback":
             return f
-        h = float(jax.device_get(health))
-        if h <= cfg.hr_guard_tau:  # NaN fails this comparison → guard trips
-            return f
-        import warnings
-
-        msg = (
-            f"tileqr hr guard: CholeskyQR2 round-1 orthogonality defect "
-            f"{h:.3e} exceeds hr_guard_tau={cfg.hr_guard_tau:.1e} — a panel "
-            f"broke the hr conditioning contract (cond(A) ≲ 1e3 in fp32)"
-        )
-        if cfg.hr_guard == "warn":
-            warnings.warn(msg + "; keeping the hr factors (hr_guard='warn').")
-            return f
-        warnings.warn(
-            msg + "; refactoring with the unconditionally stable "
-            "Householder path (hr_guard='fallback')."
-        )
         # fall through to the hh path below: `a` is already prescaled and
         # `scale` already captured, so the fallback reuses both
     ap, _ = pad_to_tiles(a, cfg.nb)
@@ -351,14 +360,22 @@ def tsqr(
         m, n = a.shape
         if mode not in ("r", "reduced"):
             raise ValueError(f"unknown mode {mode!r}")
+        stats = cfg.hr_guard != "off"
         out = cholqr2_batched(
             a[None], mode=mode, group=1, precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
+            interpret=resolve_interpret(cfg.interpret), stats=stats,
         )
+        health = out[-1] if stats else None
         if mode == "r":
-            return out[0]
-        q, r = out
-        return q[0], r[0]
+            res = out[0][0] if stats else out[0]
+        else:
+            res = (out[0][0], out[1][0])
+        bad = _guard_trips(health, cfg, "tsqr(strategy='cholqr2')")
+        if bad and cfg.hr_guard == "fallback":
+            # the chain/tree paths are unconditionally stable; re-route the
+            # same way strategy="auto" would pick for this backend
+            return tsqr(a, mode=mode, config=cfg, strategy="auto")
+        return res
     if strategy == "chain" and mode == "factor":
         # the chain path has no TSQRFactors representation — silently
         # returning tree factors would hand the caller a different object
@@ -413,16 +430,25 @@ def qr_batched(
 
         if m < n:
             raise ValueError("cholqr2 requires m >= n")
-        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, 0)))
+        stats = cfg.hr_guard != "off"
+        apc = jnp.pad(a, ((0, 0), (0, mp - m), (0, 0)))
         out = cholqr2_batched(
-            ap, mode=mode, group=select_group(b), precision=cfg.precision,
-            interpret=resolve_interpret(cfg.interpret),
+            apc, mode=mode, group=select_group(b), precision=cfg.precision,
+            interpret=resolve_interpret(cfg.interpret), stats=stats,
         )
-        if mode == "r":
-            return out
-        q, r = out
-        return q[:, :m, :], r
-    if cfg.batched_method != "hh":
+        health = out[-1] if stats else None
+        # one bad member trips the whole batch to the Householder kernels —
+        # exactly the documented hazard this guards (square gaussian 128²
+        # batches contain ill-conditioned tails; a breakdown measured
+        # relerr 1e+57 in the r3 sweep, BASELINE.md)
+        bad = _guard_trips(health, cfg, "qr_batched/cholqr2")
+        if not (bad and cfg.hr_guard == "fallback"):
+            if mode == "r":
+                return out[0] if stats else out
+            q, r = out[0], out[1]
+            return q[:, :m, :], r
+        # fall through to the hh batched path below (cfg routing bypassed)
+    elif cfg.batched_method != "hh":
         raise ValueError(f"unknown batched_method {cfg.batched_method!r}")
     out = _qr_batched(
         ap, mode=mode, precision=cfg.precision,
