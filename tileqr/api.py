@@ -107,29 +107,11 @@ def _cfg(config: Optional[QRConfig]) -> QRConfig:
 
 
 def _guard_trips(health, cfg: QRConfig, where: str) -> bool:
-    """Host check of a CholeskyQR breakdown scalar (round-1 orthogonality
-    defect, see drivers/cholqr.cholqr2_batched stats). True ⇒ the defect
-    exceeds cfg.hr_guard_tau (or is NaN) and a warning was emitted; the
-    caller decides fallback vs keep per cfg.hr_guard. Inside a jax.jit
-    trace (tracer health) the check is impossible and returns False."""
-    if health is None or isinstance(health, jax.core.Tracer):
-        return False
-    h = float(jax.device_get(health))
-    if h <= cfg.hr_guard_tau:  # NaN fails the comparison → guard trips
-        return False
-    import warnings
+    """Host check of a CholeskyQR breakdown scalar — see
+    drivers/cholqr.guard_trips (shared with the sharded-hr driver)."""
+    from tileqr.drivers.cholqr import guard_trips
 
-    action = (
-        "falling back to the unconditionally stable Householder path"
-        if cfg.hr_guard == "fallback"
-        else "keeping the CholeskyQR result (hr_guard='warn')"
-    )
-    warnings.warn(
-        f"tileqr hr guard [{where}]: CholeskyQR round-1 orthogonality "
-        f"defect {h:.3e} exceeds hr_guard_tau={cfg.hr_guard_tau:.1e} — the "
-        f"conditioning contract (cond ≲ 1e3 in fp32) is broken; {action}."
-    )
-    return True
+    return guard_trips(health, cfg, where)
 
 
 def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:

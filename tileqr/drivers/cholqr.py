@@ -94,6 +94,34 @@ def bdot_pair_rows(x, y, precision, dt, blk: int = 512, cap_bytes: int = 1 << 28
     return parts[:, 0].astype(dt)
 
 
+def guard_trips(health, cfg, where: str) -> bool:
+    """Host check of a CholeskyQR breakdown scalar (round-1 orthogonality
+    defect from the ``stats`` outputs). True ⇒ the defect exceeds
+    cfg.hr_guard_tau (or is NaN) and a warning was emitted; the caller
+    decides fallback vs keep per cfg.hr_guard. Inside a jax.jit trace
+    (tracer health) the check is impossible and returns False — the caller
+    keeps the CholeskyQR result and the scalar flows out for the user to
+    gate on."""
+    if health is None or isinstance(health, jax.core.Tracer):
+        return False
+    h = float(jax.device_get(health))
+    if h <= cfg.hr_guard_tau:  # NaN fails the comparison → guard trips
+        return False
+    import warnings
+
+    action = (
+        "falling back to the unconditionally stable Householder path"
+        if cfg.hr_guard == "fallback"
+        else "keeping the CholeskyQR result (hr_guard='warn')"
+    )
+    warnings.warn(
+        f"tileqr hr guard [{where}]: CholeskyQR round-1 orthogonality "
+        f"defect {h:.3e} exceeds hr_guard_tau={cfg.hr_guard_tau:.1e} — the "
+        f"conditioning contract (cond ≲ 1e3 in fp32) is broken; {action}."
+    )
+    return True
+
+
 def _mk_potrf_kernel(bp: int, precision):
     def kernel(g_ref, r_ref):
         _, g, n, _n2 = g_ref.shape

@@ -408,11 +408,21 @@ def qr_sharded(
         )
 
         fh = qr_sharded_factor_hr(a, mesh, cfg)
-        if mode == "factor":
-            return fh
-        if mode == "r":
-            return assemble_r_sharded_hr(fh)
-        raise ValueError(f"unknown mode {mode!r}")
+        # CholeskyQR breakdown guard (same monitor/policy as the single-chip
+        # hr path, QRConfig.hr_guard): on a tripped gate, fall through to
+        # the unconditionally stable Householder sharded drivers below
+        from tileqr.drivers.cholqr import guard_trips
+
+        health = fh.health if cfg.hr_guard != "off" else None
+        if not (
+            guard_trips(health, cfg, "qr_sharded/hr")
+            and cfg.hr_guard == "fallback"
+        ):
+            if mode == "factor":
+                return fh
+            if mode == "r":
+                return assemble_r_sharded_hr(fh)
+            raise ValueError(f"unknown mode {mode!r}")
     if cfg.resolve_driver(m, n) == "dynamic":
         from tileqr.drivers.sharded_dyn import qr_sharded_factor_dyn
 

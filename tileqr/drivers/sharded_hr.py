@@ -90,7 +90,10 @@ class ShardedHRFactors(NamedTuple):
     local Y rows for the segment's sliced window (sharded over 'rows',
     replicated along 'cols'; zero above the panel's window).
     segs: static ((ks, ke, lr, lc), …) segment table (panel range + local
-    row/col tile starts of the segment's slice)."""
+    row/col tile starts of the segment's slice).
+    health: replicated scalar (or None when QRConfig.hr_guard="off") — max
+    over panels of the CholeskyQR round-1 orthogonality defect, the same
+    breakdown monitor as the single-chip hr path (api.HRFactors.health)."""
 
     local: jnp.ndarray
     r_diag: jnp.ndarray
@@ -100,12 +103,14 @@ class ShardedHRFactors(NamedTuple):
     shape: Tuple[int, int]
     grid: Tuple[int, int, int, int]  # (mt, nt, pr, pc)
     segs: Tuple[Tuple[int, int, int, int], ...]
+    health: object = None
 
 
 jax.tree_util.register_pytree_node(
     ShardedHRFactors,
-    lambda f: ((f.local, f.r_diag, f.t_all, f.y_segs), (f.nb, f.shape, f.grid, f.segs)),
-    lambda aux, ch: ShardedHRFactors(*ch, *aux),
+    lambda f: ((f.local, f.r_diag, f.t_all, f.y_segs, f.health),
+               (f.nb, f.shape, f.grid, f.segs)),
+    lambda aux, ch: ShardedHRFactors(ch[0], ch[1], ch[2], ch[3], *aux, ch[4]),
 )
 
 
@@ -129,6 +134,11 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     # matmul-only orthogonality correction (one nb² psum per round of the
     # gram; the iteration itself is replicated nb³ work)
     e = jax.lax.psum(_gram_pair(q1, q1, dt), "rows") - eye
+    # breakdown monitor (replicated — e is post-psum): NaN-propagating max
+    # of the round-1 defect, the same signal as cholqr2_batched(stats=True)
+    emax = jnp.where(
+        jnp.any(jnp.isnan(e)), jnp.asarray(jnp.nan, dt), jnp.max(jnp.abs(e))
+    )
     u = _up_half(e[None])[0]
     for _ in range(correction_iters):
         u = _up_half((e - _dot(jnp.transpose(u), u, _HI, dt))[None])[0]
@@ -137,7 +147,7 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     w = eye - _dot(u, w, _HI, dt)
     q = _dot(q1, w, _HI, dt)
     r = jnp.triu(jax.lax.psum(_gram_pair(q, p, dt), "rows"))
-    return q, r
+    return q, r, emax
 
 
 def _reconstruct_yt_dist(q, lu, d, top_off, is_owner, nb: int):
@@ -252,6 +262,7 @@ def qr_sharded_factor_hr(
         dt = loc.dtype
         r_diag = jnp.zeros((k_max, nb, nb), dt)
         t_all = jnp.zeros((k_max, nb, nb), dt)
+        health = jnp.zeros((), dt)
         y_outs = []
 
         for ks, ke, lr, lc in segs:
@@ -262,7 +273,7 @@ def qr_sharded_factor_hr(
 
             def panel(k, carry, lr=lr, lc=lc, ks=ks, rowg=rowg, lm_s=lm_s):
                 k = jnp.asarray(k, jnp.int32)
-                sub, r_diag, y_seg, t_all = carry
+                sub, r_diag, y_seg, t_all, health = carry
                 r_k, c_k = k % pr, k % pc
                 is_owner = (r == r_k).astype(dt)
                 top_off = (k // pr - lr) * nb
@@ -276,7 +287,8 @@ def qr_sharded_factor_hr(
                 wmask = (rowg >= k).astype(dt)[:, None]
                 p = pcol * wmask
 
-                q, rch = _cholqr2_psum(p, nb, interpret)
+                q, rch, emax = _cholqr2_psum(p, nb, interpret)
+                health = jnp.maximum(health, emax)
                 qtop = jax.lax.dynamic_slice(q, _ix(top_off, 0), (nb, nb))
                 qtop = jax.lax.psum(qtop * is_owner, "rows")
                 lu, d = modified_lu(qtop, interpret=interpret)
@@ -294,10 +306,10 @@ def qr_sharded_factor_hr(
                 t_all = jax.lax.dynamic_update_slice(
                     t_all, t[None], _ix(k, 0, 0)
                 )
-                return sub, r_diag, y_seg, t_all
+                return sub, r_diag, y_seg, t_all, health
 
-            sub, r_diag, y_seg, t_all = jax.lax.fori_loop(
-                ks, ke, panel, (sub, r_diag, y_seg, t_all)
+            sub, r_diag, y_seg, t_all, health = jax.lax.fori_loop(
+                ks, ke, panel, (sub, r_diag, y_seg, t_all, health)
             )
             low = (
                 jnp.concatenate([loc[lr * nb :, : lc * nb], sub], axis=1)
@@ -307,19 +319,24 @@ def qr_sharded_factor_hr(
             loc = jnp.concatenate([loc[: lr * nb, :], low], axis=0) if lr else low
             y_outs.append(y_seg[None])
 
-        return (loc[None, None], r_diag, t_all, tuple(y_outs))
+        return (loc[None, None], r_diag, t_all, health, tuple(y_outs))
 
     sh = P("rows", "cols")
-    local_out, r_diag, t_all, y_segs = jax.shard_map(
+    local_out, r_diag, t_all, health, y_segs = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(sh,),
-        out_specs=(sh, P(), P(), tuple(P("rows") for _ in segs)),
+        out_specs=(sh, P(), P(), P(), tuple(P("rows") for _ in segs)),
         check_vma=False,
     )(local)
 
+    # the guard is a host-side api concern (drivers/sharded.qr_sharded);
+    # the scalar rides the factors either way — hr_guard="off" callers can
+    # simply ignore it (an extra max chain per panel costs nothing against
+    # the update matmuls, so no stats knob forks the executable here)
     return ShardedHRFactors(
-        local_out, r_diag, t_all, y_segs, nb, (m, n), (mt, nt, pr, pc), segs
+        local_out, r_diag, t_all, y_segs, nb, (m, n), (mt, nt, pr, pc), segs,
+        health,
     )
 
 
