@@ -38,6 +38,11 @@ def disable_updates():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "base8k"
+    if which.startswith("classic"):
+        # pre-fused-panel pipeline (the A/B control once "fused" became
+        # the default — base8k rows measured before the flip are classic)
+        shr._PANEL_PIPELINE = "classic"
+        which = which[len("classic"):]
     n = 16384 if which.endswith("16k") else 8192
     ck = 2 if n == 16384 else 3
     if which.startswith("panels"):

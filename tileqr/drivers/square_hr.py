@@ -120,11 +120,21 @@ def _reconstruct_yt(q, lu, d, dt):
     return y, t
 
 
-def hr_panel(panel, interpret, correction_iters: int = 2, stats: bool = False):
+# panel pipeline default: "fused" folds the Q formation and the R gram
+# away (4 tall passes over the panel instead of 6 — see hr_panel_fused);
+# "classic" is the straight cholqr2_batched → modified-LU composition the
+# fused form was A/B'd against.
+_PANEL_PIPELINE = "fused"
+
+
+def hr_panel(panel, interpret, correction_iters: int = 2, stats: bool = False,
+             pipeline: str | None = None):
     """Factor one (mk, nb) panel: returns (y (mk, nb), t (nb, nb),
     r (nb, nb) with the reconstruction signs folded in). stats=True appends
     the panel's CholeskyQR round-1 orthogonality defect ‖Q₁ᵀQ₁ − I‖_max —
     the hr breakdown signal (see cholqr2_batched)."""
+    if (pipeline or _PANEL_PIPELINE) == "fused":
+        return hr_panel_fused(panel, interpret, correction_iters, stats)
     dt = panel.dtype
     out = cholqr2_batched(
         panel[None], mode="reduced", group=1, precision="highest",
@@ -135,6 +145,71 @@ def hr_panel(panel, interpret, correction_iters: int = 2, stats: bool = False):
     y, t = _reconstruct_yt(q, lu, d, dt)
     rk = d[:, None] * r
     return (y, t, rk, out[2]) if stats else (y, t, rk)
+
+
+def hr_panel_fused(panel, interpret, correction_iters: int = 2,
+                   stats: bool = False):
+    """hr panel with the minimal number of tall passes over the panel.
+
+    The phase-split probe (scripts/tpu_r3_hr_tune.py panels8k) measured the
+    PANEL phase at 20.5 ms of the 8192² static driver's 38.4 — the tall
+    (m_k × nb) matmuls of the classic cholqr2→modLU composition, not the
+    trailing updates, had become the bottleneck. The classic pipeline makes
+    SIX passes over the panel: gram, Q₁ = P·S₁, the correction gram Q₁ᵀQ₁,
+    Q = Q₁·W, R = QᵀP, and L2 = Q[nb:]·U⁻¹. Three of those are algebraically
+    redundant given the nb×nb intermediates already in hand:
+
+      - Q is never needed: modified-LU only reads Q_top = Q₁[:nb]·W (nb³),
+        and Y's bottom is Q[nb:]·U⁻¹ = Q₁[nb:]·(W·U⁻¹) — fold the two nb×nb
+        factors first and make ONE tall pass.
+      - R = QᵀP = Wᵀ·(Q₁ᵀP) and Q₁ᵀP = S₁ᵀ·(PᵀP) = S₁ᵀ·G — pure nb³ off the
+        gram. (The r_anchor A/B, BASELINE.md r3, showed the hr residual
+        floor does not live in the R anchor; measured again for this form —
+        relerr unchanged at 8192².)
+
+    What stays measured: the correction gram E = Q₁ᵀQ₁ − I. Its algebraic
+    twin S₁ᵀGS₁ − I misses Q₁'s own formation rounding — exactly the defect
+    the correction round and the breakdown monitor exist to see.
+
+    Four tall passes total (gram, Q₁, E, Y-bottom); the two reconstruction
+    triangular inverses run as one B=2 log-doubling batch. Same contract
+    and return layout as the classic pipeline."""
+    from tileqr.drivers.cholqr import _up_half, bdot_pair_rows, potrf_batched
+
+    dt = panel.dtype
+    hi = jax.lax.Precision.HIGHEST
+    nb = panel.shape[1]
+    eye = jnp.eye(nb, dtype=dt)
+    g = bdot_pair_rows(panel[None], panel[None], hi, dt)  # tall pass 1
+    r1 = potrf_batched(g, group=1, precision="highest", interpret=interpret)
+    s1 = _triu_inv_doubling(r1, hi)[0]
+    q1 = _dot(panel, s1, hi, dt)  # tall pass 2
+    e = bdot_pair_rows(q1[None], q1[None], hi, dt)[0] - eye  # tall pass 3
+    if stats:
+        emax = jnp.where(
+            jnp.any(jnp.isnan(e)), jnp.asarray(jnp.nan, dt),
+            jnp.max(jnp.abs(e)),
+        )
+    # matmul-only second round (cholqr2_batched's algebra, B=1 inline):
+    # chol(I+E) = I + U by the quadratic iteration, (I+U)⁻¹ by Horner
+    u = _up_half(e[None])[0]
+    for _ in range(correction_iters):
+        u = _up_half((e - _dot(jnp.transpose(u), u, hi, dt))[None])[0]
+    w = eye - u
+    w = eye - _dot(u, w, hi, dt)
+    w = eye - _dot(u, w, hi, dt)
+    q_top = _dot(q1[:nb], w, hi, dt)
+    lu, d = modified_lu(q_top, interpret=interpret)
+    l1 = jnp.tril(lu, -1) + eye
+    uu = jnp.triu(lu)
+    invs = _triu_inv_doubling(jnp.stack([uu, jnp.transpose(l1)]), hi)
+    uuinv, l1tinv = invs[0], invs[1]
+    l2 = _dot(q1[nb:], _dot(w, uuinv, hi, dt), hi, dt)  # tall pass 4
+    y = jnp.concatenate([l1, l2], axis=0)
+    t = -_dot(uu * d[None, :], l1tinv, hi, dt)
+    r = jnp.triu(_dot(jnp.transpose(w), _dot(jnp.transpose(s1), g[0], hi, dt), hi, dt))
+    rk = d[:, None] * r
+    return (y, t, rk, emax) if stats else (y, t, rk)
 
 
 def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
