@@ -115,14 +115,20 @@ jax.tree_util.register_pytree_node(
 
 
 def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
-    """Distributed CholeskyQR2 of one panel, rows sharded over 'rows'.
+    """Distributed CholeskyQR2 of one panel, rows sharded over 'rows' —
+    the FUSED form (square_hr.hr_panel_fused ported across the mesh).
 
     p: (lm, nb) local rows (masked: zeros outside the window). Returns
-    (q local rows, R replicated). All matmuls HIGHEST — the factors define
-    the factorization (drivers/cholqr.py Q1 precision lesson). The LOCAL
-    tall contractions accumulate pairwise (bdot_pair_rows) for the same
-    √m reason as the single-chip cholqr2 (BASELINE.md r3 pairwise probe);
-    the psum across 'rows' is already a device-level tree."""
+    (q1 local rows, w replicated, R replicated, emax replicated): Q is
+    NEVER materialized — callers fold W into whatever they apply to Q₁
+    (top-block extract, Y reconstruction), and R = Wᵀ·S₁ᵀ·G comes off the
+    already-replicated gram at nb³ cost, deleting BOTH the Q-formation
+    local tall pass and the R-gram's nb² psum (2 collectives per panel
+    instead of 3 here). All matmuls HIGHEST — the factors define the
+    factorization (drivers/cholqr.py Q1 precision lesson). The LOCAL tall
+    contractions accumulate pairwise (bdot_pair_rows) for the same √m
+    reason as the single-chip cholqr2 (BASELINE.md r3 pairwise probe); the
+    psum across 'rows' is already a device-level tree."""
     dt = p.dtype
     eye = jnp.eye(nb, dtype=dt)
     g = jax.lax.psum(_gram_pair(p, p, dt), "rows")
@@ -131,8 +137,9 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     )[0]
     s1 = _triu_inv_doubling(r1[None], _HI)[0]
     q1 = _dot(p, s1, _HI, dt)
-    # matmul-only orthogonality correction (one nb² psum per round of the
-    # gram; the iteration itself is replicated nb³ work)
+    # matmul-only orthogonality correction (one nb² psum for the measured
+    # round-1 gram — it must SEE Q₁'s formation rounding, so no algebraic
+    # S₁ᵀGS₁ shortcut here; the iteration itself is replicated nb³ work)
     e = jax.lax.psum(_gram_pair(q1, q1, dt), "rows") - eye
     # breakdown monitor (replicated — e is post-psum): NaN-propagating max
     # of the round-1 defect, the same signal as cholqr2_batched(stats=True)
@@ -145,27 +152,24 @@ def _cholqr2_psum(p, nb: int, interpret: bool, correction_iters: int = 2):
     w = eye - u
     w = eye - _dot(u, w, _HI, dt)
     w = eye - _dot(u, w, _HI, dt)
-    q = _dot(q1, w, _HI, dt)
-    r = jnp.triu(jax.lax.psum(_gram_pair(q, p, dt), "rows"))
-    return q, r, emax
+    r = jnp.triu(_dot(jnp.transpose(w), _dot(jnp.transpose(s1), g, _HI, dt), _HI, dt))
+    return q1, w, r, emax
 
 
-def _reconstruct_yt_dist(q, lu, d, top_off, is_owner, nb: int):
-    """Distributed (Y, T) from local Q rows and the replicated top-block
-    modified LU (square_hr._reconstruct_yt over sharded rows)."""
-    dt = q.dtype
+def _reconstruct_yt_dist(q1, w, lu, d, top_off, is_owner, nb: int):
+    """Distributed (Y, T) from local Q₁ rows + the replicated correction W
+    and top-block modified LU (square_hr.hr_panel_fused over sharded rows):
+    Y = Q·U⁻¹ = Q₁·(W·U⁻¹) — one local tall pass with the nb³ factors
+    folded first; the owner's top block is then overwritten with the LU's
+    exact L1. The two triangular inverses run as one B=2 doubling batch."""
+    dt = q1.dtype
     eye = jnp.eye(nb, dtype=dt)
     l1 = jnp.tril(lu, -1) + eye
     u = jnp.triu(lu)
-    uinv = _triu_inv_doubling(u[None], _HI)[0]
-    l1tinv = _triu_inv_doubling(jnp.transpose(l1)[None], _HI)[0]
+    invs = _triu_inv_doubling(jnp.stack([u, jnp.transpose(l1)]), _HI)
+    uinv, l1tinv = invs[0], invs[1]
     t = -_dot(u * d[None, :], l1tinv, _HI, dt)
-    # Y = (Q − diag d at the owner's top-block rows)·U⁻¹; the owner's top
-    # block is then overwritten with the LU's exact L1 (same algebra, no
-    # extra rounding through U⁻¹)
-    adj = jnp.zeros_like(q)
-    adj = jax.lax.dynamic_update_slice(adj, jnp.diag(d), _ix(top_off, 0))
-    y = _dot(q - adj * is_owner, uinv, _HI, dt)
+    y = _dot(q1, _dot(w, uinv, _HI, dt), _HI, dt)
     ysub = jax.lax.dynamic_slice(y, _ix(top_off, 0), (nb, nb))
     y = jax.lax.dynamic_update_slice(
         y, jnp.where(is_owner > 0, l1, ysub), _ix(top_off, 0)
@@ -287,12 +291,14 @@ def qr_sharded_factor_hr(
                 wmask = (rowg >= k).astype(dt)[:, None]
                 p = pcol * wmask
 
-                q, rch, emax = _cholqr2_psum(p, nb, interpret)
+                q1, wc, rch, emax = _cholqr2_psum(p, nb, interpret)
                 health = jnp.maximum(health, emax)
-                qtop = jax.lax.dynamic_slice(q, _ix(top_off, 0), (nb, nb))
-                qtop = jax.lax.psum(qtop * is_owner, "rows")
+                q1top = jax.lax.dynamic_slice(q1, _ix(top_off, 0), (nb, nb))
+                q1top = jax.lax.psum(q1top * is_owner, "rows")
+                # Q_top = Q₁_top·W — replicated nb³; Q itself is never formed
+                qtop = _dot(q1top, wc, _HI, dt)
                 lu, d = modified_lu(qtop, interpret=interpret)
-                y, t = _reconstruct_yt_dist(q, lu, d, top_off, is_owner, nb)
+                y, t = _reconstruct_yt_dist(q1, wc, lu, d, top_off, is_owner, nb)
                 y = y * wmask
 
                 sub = _apply_panel_dist(y, t, sub, prec, trans=True, interpret=interpret)
