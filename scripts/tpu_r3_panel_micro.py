@@ -135,13 +135,28 @@ def main(m):
         lambda q: modified_lu(q, interpret=False)[0], q1[:NB], k=32) * 1e6)
     rec("inv1", chained(
         lambda rr: _triu_inv_doubling(rr[None], HI)[0], r1, k=32) * 1e6)
+    # both doubling inputs upper-triangular, as at the real call site
+    # ([uu, l1.T]) — rr.T would be lower-triangular (values meaningless for
+    # that routine, and this is a values-could-be-reused trap even though
+    # the fixed doubling-step matmul count makes the timing identical)
     rec("inv2", chained(
-        lambda rr: _triu_inv_doubling(jnp.stack([rr, rr.T]), HI)[0],
+        lambda rr: _triu_inv_doubling(jnp.stack([rr, rr]), HI)[0],
         r1, k=32) * 1e6)
     rec("dot", chained(
         lambda gg: jnp.dot(gg, s1, precision=HI), g, k=64) * 1e6)
-    rec("smalls", chained(
-        lambda gg: smalls_chain((gg, s1, e, q1[:NB]))[1], g, k=8) * 1e6)
+
+    def smalls_body(gg):
+        # every closed-over nb² input is perturbed by the chained value so
+        # ALL four sub-chains (l1/t/rk/fold) are live AND loop-variant —
+        # selecting one output of constant inputs lets XLA CSE the k
+        # iterations into one and DCE the rest (the r3 'smalls' reading
+        # measured ~nothing; ADVICE r3)
+        eps = (gg.ravel()[0] * jnp.float32(1e-30)).astype(gg.dtype)
+        l1, t, rk, fold = smalls_chain((gg, s1 + eps, e + eps, q1[:NB] + eps))
+        return (l1.ravel()[0] + t.ravel()[0] + rk.ravel()[0]
+                + fold.ravel()[0])[None]
+
+    rec("smalls", chained(smalls_body, g, k=8) * 1e6)
 
     tall = rows[1][1] * 2 + rows[2][1] * 2  # gram+E, q1+l2
     print(f"\nsum check: 4 tall passes ~{tall:.0f} us; potrf+inv1 "

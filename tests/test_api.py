@@ -144,6 +144,44 @@ def test_qr_check_utility(rng):
     assert m["relerr"] < 3e-6 and m["orth"] < 1e-4 and m["r_lower"] == 0.0
 
 
+def test_relerr_streamed_matches_dense(rng):
+    """The HBM-safe streamed full-width residual (utils/verify.py,
+    VERDICT r3 missing-#1). Two gates: (a) the block-sum machinery is
+    EXACT against host f64 when the apply is a fixed function (identity),
+    including a ragged last block and K < M rows; (b) on real hh/hr
+    factors it lands within 2× of the dense host residual (the apply's own
+    rounding legitimately differs between a full-width and a blocked QᵀA —
+    both are O(eps) estimates of the same backward error) and inside the
+    acceptance gate."""
+    m, n = 200, 160
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    # (a) machinery exactness: apply = identity, r = top rows of a plus a
+    # known perturbation → residual is computable exactly on host
+    r_synth = np.asarray(a[:n]) + rng.standard_normal((n, n)).astype(np.float32) * 1e-5
+    want = np.sqrt(
+        np.linalg.norm(np.asarray(a[:n], np.float64) - np.asarray(r_synth, np.float64)) ** 2
+        + np.linalg.norm(np.asarray(a[n:], np.float64)) ** 2
+    ) / np.linalg.norm(np.asarray(a, np.float64))
+    got = tileqr.relerr_streamed(lambda c: c, a, r_synth, col_block=48)
+    assert abs(got - want) <= 1e-5 * want
+    # (b) factor-level: both drivers, ragged col_block
+    for cfg in (CFG, QRConfig(nb=64, square_method="hr")):
+        f = tileqr.qr_factor(a, config=cfg)
+        r = tileqr.qr(a, mode="r", config=cfg)
+        qta = np.asarray(
+            tileqr.apply_q(f, a, trans=True, config=cfg), np.float64
+        )
+        r_pad = np.zeros((m, n))
+        r_pad[: r.shape[0]] = np.asarray(r, np.float64)
+        dense = np.linalg.norm(qta - r_pad) / np.linalg.norm(a)
+        streamed = tileqr.relerr_streamed(
+            lambda c, f=f, cfg=cfg: tileqr.apply_q(f, c, trans=True, config=cfg),
+            a, np.asarray(r), col_block=48,
+        )
+        assert 0.5 * dense <= streamed <= 2.0 * dense
+        assert streamed < 3e-6
+
+
 def test_qr_dynamic_driver_matches_static(rng):
     """QRConfig(driver="dynamic") routes qr/apply_q through the
     bounded-compile fori_loop driver (drivers/square_dyn.py); same tile

@@ -145,6 +145,24 @@ def test_hr_sharded_b3(rng):
     assert _relerr_vs_numpy_r(a, r) < 1e-3
 
 
+def test_hr_sharded_tall_pairwise_w(rng):
+    """Local rows ≥ 2048 on a narrow trailing matrix: the distributed hr
+    update's LOCAL W = YᵀC projection takes the pairwise block-accumulation
+    branch (VERDICT r3 missing-#3 — the sharded update now carries the same
+    accumulation discipline as square_hr._apply_block_t). Gate is the
+    single-chip post-fix error class, NOT the pre-fix √m-grown one."""
+    mesh = jax.make_mesh((2, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(2, 1))
+    m, n = 4096, 64  # 2048 local rows per device → pairwise branch is live
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg, segments=2)
+    r = np.asarray(assemble_r_sharded_hr(f, mesh))
+    assert _relerr_vs_numpy_r(a, r) < 1e-5
+    qta = np.asarray(apply_q_sharded_hr(f, a, mesh, trans=True, config=cfg))
+    assert np.abs(qta[:n] - r[:n]).max() / np.abs(r).max() < 1e-5
+    assert np.abs(qta[n:]).max() / np.abs(r).max() < 1e-5
+
+
 def test_sharded_hr_health_and_guard(rng):
     """The distributed hr path carries the same breakdown monitor as the
     single-chip one: healthy inputs report a tiny replicated scalar and no

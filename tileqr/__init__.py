@@ -34,7 +34,7 @@ from tileqr.api import (
     tsqr,
 )
 from tileqr.drivers.sharded import qr_sharded
-from tileqr.utils.verify import qr_check
+from tileqr.utils.verify import qr_check, relerr_streamed
 
 __version__ = "0.1.0"
 
@@ -49,6 +49,7 @@ __all__ = [
     "qr_factor",
     "qr_check",
     "qr_sharded",
+    "relerr_streamed",
     "tsqr",
     "__version__",
 ]

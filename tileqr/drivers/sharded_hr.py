@@ -185,7 +185,17 @@ def _apply_panel_dist(y, t, c, prec, trans: bool, interpret: bool = False):
     whole-panel kernels (kernels/panel_apply.py panel_project/panel_sub —
     in-kernel bf16 split, the only form where the 3-pass emulation wins;
     BASELINE.md r3) with the psum sitting between them exactly where the
-    XLA form has it; the nb² T product stays HIGHEST."""
+    XLA form has it; the nb² T product stays HIGHEST.
+
+    The LOCAL projection W = YᵀC accumulates with the same discipline as the
+    single-chip hr update (square_hr._apply_block_t, VERDICT r3 missing-#3):
+    pairwise block accumulation on narrow targets, split-K on wide tall
+    ones — one fp32 dot over lm local rows carries the √lm sequential-
+    accumulation error the r3 campaign measured and killed single-chip
+    (7.4e-07 → 4.4e-07 at 16384²); the psum across 'rows' above it is
+    already a device-level tree and needs no help."""
+    from tileqr.drivers.cholqr import bdot_pair_rows
+    from tileqr.drivers.square_hr import _W_PAIR_MAX_COLS, _w_splitk
     from tileqr.kernels.common import B3
 
     dt = c.dtype
@@ -200,7 +210,13 @@ def _apply_panel_dist(y, t, c, prec, trans: bool, interpret: bool = False):
         tm = jnp.transpose(t) if trans else t
         w = _dot(tm, w, _HI, dt)
         return panel_sub(y, w, c, "b3", interpret)
-    w = jax.lax.psum(_dot(jnp.transpose(y), c, prec, dt), "rows")
+    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
+        w_loc = bdot_pair_rows(y[None], c[None], prec, dt)[0]
+    elif prec != B3 and dt == jnp.float32 and y.shape[0] >= 4096:
+        w_loc = _w_splitk(y, c, prec, dt)
+    else:
+        w_loc = _dot(jnp.transpose(y), c, prec, dt)
+    w = jax.lax.psum(w_loc, "rows")
     tm = jnp.transpose(t) if trans else t
     w = _dot(tm, w, prec, dt)
     return c - _dot(y, w, prec, dt)

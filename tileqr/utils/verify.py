@@ -9,7 +9,7 @@ in float64 on host — verifying with an on-device default-precision matmul
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Callable, Dict
 
 import numpy as np
 
@@ -36,6 +36,55 @@ def residual_via_qt(a, qta, r) -> float:
     qta = np.asarray(qta, np.float64)
     r = np.asarray(r, np.float64)
     return float(np.linalg.norm(qta - r) / np.linalg.norm(a))
+
+
+def relerr_streamed(
+    apply_qt: Callable, a, r, col_block: int = 2048
+) -> float:
+    """FULL-WIDTH ‖QᵀA − R‖F/‖A‖F without materializing QᵀA — the HBM-safe
+    contract-scale residual (VERDICT r3 missing-#1: at 32768² fp32, QᵀA is
+    another 4 GiB and a host gather of it is 8+ tunnel-minutes; the r3
+    512-column-slice shortcut measurably UNDERSTATES the b3 paths' error by
+    ~7×, so slices are banned for acceptance rows).
+
+    apply_qt: C (M, p) → QᵀC (M, p) on device (e.g.
+    ``lambda c: api.apply_q(f, c, trans=True)``). a: (M, N) device array.
+    r: (K, N) device array, K <= M; rows K..M of QᵀA are compared against
+    zero (the ‖A − QR‖F ≡ ‖QᵀA − [R; 0]‖F identity needs them).
+
+    Per column block: one narrow apply + a jitted fp32 block sum-of-squares
+    (an XLA tree reduce; entries are O(‖A‖·relerr) so fp32 partials carry
+    ~1e-3 relative error on the final norm — far below acceptance
+    resolution). Host accumulates the block partials in float64."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    r = jnp.asarray(r)
+    m, n = a.shape
+    k = r.shape[0]
+
+    @jax.jit
+    def _blk_sumsq(qta_blk, r_blk):
+        d_top = qta_blk[:k] - r_blk
+        ss = jnp.sum(jnp.square(d_top))
+        if qta_blk.shape[0] > k:
+            ss = ss + jnp.sum(jnp.square(qta_blk[k:]))
+        return ss
+
+    @jax.jit
+    def _a_sumsq(a_blk):
+        return jnp.sum(jnp.square(a_blk))
+
+    num = 0.0
+    den = 0.0
+    for j0 in range(0, n, col_block):
+        j1 = min(j0 + col_block, n)
+        a_blk = a[:, j0:j1]
+        qta = apply_qt(a_blk)
+        num += float(jax.device_get(_blk_sumsq(qta, r[:, j0:j1])))
+        den += float(jax.device_get(_a_sumsq(a_blk)))
+    return float(np.sqrt(num) / np.sqrt(den if den else 1.0))
 
 
 def tiles_bitwise_equal(x, y) -> bool:
