@@ -93,6 +93,57 @@ def main():
     )()
     sync(a)
 
+    # Contract-size capability (TILEQR_BENCH_N=32768, VERDICT r3 next-#1):
+    # the trace-unrolled static hr driver cannot compile at 128 panels (XLA
+    # buffer assignment OOM, BASELINE.md r3), so beyond 64 panels the hr
+    # method routes through the bounded-compile chunked driver, timed by
+    # direct differencing of whole runs — at ≥2 s of device work per run the
+    # ~30 ms tunnel sync floor is <2%, so chaining inside one executable is
+    # no longer needed for meaningful numbers.
+    if METHOD == "hr" and N // NB > 64:
+        from tileqr.drivers.square_hr import pad_for_hr, qr_hr_chunked
+
+        def run_chunked():
+            ap, _ = pad_for_hr(a, NB)
+            t0 = time.perf_counter()
+            r, panels = qr_hr_chunked(
+                ap, NB, precision=PRECISION, interpret=not on_tpu
+            )
+            sync(r)
+            dt = time.perf_counter() - t0
+            del r, panels
+            return dt
+
+        run_chunked()  # compile (segment executables are cached)
+        t_ours = min(run_chunked() for _ in range(2))
+
+        def run_base():
+            # mode="r" (geqrf, no Q formation): the factor-only comparison —
+            # our run also returns R + implicit factors, and the full-QR
+            # baseline's extra 8 GiB of Q/R outputs risks HBM at this size
+            t0 = time.perf_counter()
+            r = jax.jit(lambda x: jnp.linalg.qr(x, mode="r"))(a)
+            sync(r)
+            dt = time.perf_counter() - t0
+            del r
+            return dt
+
+        run_base()
+        t_base = min(run_base() for _ in range(2))
+        tflops = qr_flops(N, N) / t_ours / 1e12
+        print(
+            json.dumps(
+                {
+                    "metric": f"tiled QR fp32 TFLOP/s @ {N}x{N} (nb={NB}, "
+                    f"{PRECISION}, method=hr-chunked)",
+                    "value": round(tflops, 3),
+                    "unit": "TFLOP/s",
+                    "vs_baseline": round(t_base / t_ours, 3),
+                }
+            )
+        )
+        return
+
     def step(x):
         if METHOD == "hr":
             r, _ = qr_hr(x, NB, precision=PRECISION, interpret=not on_tpu)

@@ -1,0 +1,179 @@
+"""Round-4: re-qualify the 32768² contract size (BASELINE.json:11) with the
+post-accumulation-fix code and FULL-WIDTH residuals (VERDICT r3 missing-#1).
+
+Every r3 32768² accuracy number predates the pairwise/Kahan/split-K fixes
+AND was a 512-column-slice check, which the r3 record itself proved
+misleads (~7× understated for b3). This run measures, on the real chip:
+
+  1. chunked-hr "highest"  — qr_hr_chunked (XLA path; _apply_block_t
+     inherits split-K wide W + pairwise grams)
+  2. chunked-hr "b3"       — the in-kernel bf16x3 Pallas panel-apply path
+     (use_kernel=True default for b3; Kahan-compensated W)
+  3. dyn-HH                — the unconditionally stable bounded-compile
+     Householder driver
+
+each with wall-clock (direct timing: device work is seconds, the ~30 ms
+tunnel sync floor is <2%) and the full-width ‖QᵀA − R‖F/‖A‖F via
+utils.verify.relerr_streamed (measurement apply at HIGHEST with the
+pairwise/split-K W — the factor's quality, not the apply emulation's).
+
+Memory choreography: a (4 GiB) is retained for the residual; each factor's
+outputs are dropped before the next path runs. Peak ≈ a + carry + window
+temp + factors ≈ 14 GiB on the 16 GiB chip.
+
+Usage: python scripts/r4_contract_requal.py [path ...]  (default: all 3)
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from tileqr.drivers.square_hr import (  # noqa: E402
+    apply_q_hr_chunked,
+    pad_for_hr,
+    qr_hr_chunked,
+)
+from tileqr.utils.verify import relerr_streamed  # noqa: E402
+
+import os  # noqa: E402
+
+N = int(os.environ.get("TILEQR_REQUAL_N", "32768"))
+NB = int(os.environ.get("TILEQR_REQUAL_NB", "256"))
+FLOPS = 2.0 * N * N * (N - N / 3.0)
+
+
+INTERP = jax.default_backend() != "tpu"  # CPU smoke runs use interpret mode
+
+
+def sync(x):
+    _ = np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+# A is built from per-column-block PRNG keys so the residual pass can
+# regenerate any block EXACTLY without holding the 4 GiB input (the dyn-HH
+# factors + R already fill HBM; see relerr_streamed's callable-a mode)
+CB = min(4096, N // 2)
+
+
+def gen_blk(j0, j1):
+    assert j0 % CB == 0 and (j1 - j0) == CB
+    return jax.jit(
+        lambda: jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(0), j0 // CB),
+            (N, CB), jnp.float32,
+        )
+    )()
+
+
+def gen_a():
+    a = jax.jit(
+        lambda: jnp.concatenate(
+            [
+                jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(0), j),
+                    (N, CB), jnp.float32,
+                )
+                for j in range(N // CB)
+            ],
+            axis=1,
+        )
+    )()
+    sync(a)
+    return a
+
+
+def hr_path(a, precision):
+    def run():
+        ap, _ = pad_for_hr(a, NB)
+        t0 = time.perf_counter()
+        r, panels = qr_hr_chunked(ap, NB, precision=precision,
+                                  interpret=INTERP)
+        sync(r)
+        return time.perf_counter() - t0, r, panels
+
+    t_cold, r, panels = run()
+    log(f"hr-{precision}: cold factor {t_cold:.1f} s")
+    r, panels = None, None
+    t_warm, r, panels = run()
+    log(
+        f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
+        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
+    )
+    t0 = time.perf_counter()
+    rel = relerr_streamed(
+        lambda c: apply_q_hr_chunked(
+            panels, jnp.asarray(c), NB, trans=True, precision="highest"
+        ),
+        a, r, col_block=4096,
+    )
+    log(
+        f"hr-{precision}: FULL-WIDTH relerr {rel:.3e} "
+        f"(residual pass {time.perf_counter()-t0:.1f} s)"
+    )
+    return t_warm, rel
+
+
+def dyn_hh_path():
+    """A is NOT held: each run regenerates it on device and donates it to
+    the factorization (factors + carry ≈ 11.5 GiB at this size, BASELINE.md
+    r2); the residual regenerates A's column blocks from their keys."""
+    from tileqr.drivers.square import assemble_r
+    from tileqr.drivers.square_dyn import apply_q_tiled_dyn, qr_tiled_dyn
+
+    def run():
+        ap = gen_a()
+        t0 = time.perf_counter()
+        a_out, df = qr_tiled_dyn(ap, NB, ib=128, chunk=4, precision="highest",
+                                 interpret=INTERP, donate=True)
+        sync(a_out)
+        return time.perf_counter() - t0, a_out, df
+
+    t_cold, a_out, df = run()
+    log(f"dyn-hh: cold factor {t_cold:.1f} s")
+    a_out, df = None, None
+    t_warm, a_out, df = run()
+    log(
+        f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
+        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
+    )
+    r = assemble_r(a_out, df.r_diag, NB)
+    a_out = None
+    t0 = time.perf_counter()
+    rel = relerr_streamed(
+        lambda c: apply_q_tiled_dyn(df, jnp.asarray(c), trans=True,
+                                    precision="highest", interpret=INTERP),
+        gen_blk, r, col_block=CB, n_cols=N,
+    )
+    log(
+        f"dyn-hh: FULL-WIDTH relerr {rel:.3e} "
+        f"(residual pass {time.perf_counter()-t0:.1f} s)"
+    )
+    return t_warm, rel
+
+
+def main(paths):
+    log(f"device: {jax.devices()}")
+    if "hr" in paths or "b3" in paths:
+        a = gen_a()
+        if "hr" in paths:
+            hr_path(a, "highest")
+        if "b3" in paths:
+            hr_path(a, "b3")
+        a = None
+    if "dyn" in paths:
+        dyn_hh_path()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["hr", "b3", "dyn"])

@@ -100,8 +100,37 @@ def test_tsqr_cholqr2_strategy(rng):
     rr = np.asarray(rr, np.float64)
     assert np.linalg.norm(q @ rr - a) / np.linalg.norm(a) < 1e-6
     assert np.linalg.norm(q.T @ q - np.eye(48)) < 5e-6
-    with pytest.raises(ValueError, match="factor"):
-        tileqr.tsqr(a, mode="factor", strategy="cholqr2")
+
+
+def test_tsqr_cholqr2_factor_mode(rng):
+    """tsqr(mode="factor", strategy="cholqr2") (VERDICT r3 missing-#4):
+    whole-panel compact-WY HRFactors via CholeskyQR2 + modified-LU
+    Householder reconstruction. Gates: QᵀA = [R; 0] through apply_q, the
+    Qᵀ/Q roundtrip is the identity, orgqr's Q matches mode="reduced"'s up
+    to the reconstruction's fp32 rounding, and the breakdown guard falls
+    back to tree factors on a rank-deficient panel."""
+    m, n = 2048, 48
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    f = tileqr.tsqr(a, mode="factor", strategy="cholqr2")
+    assert type(f).__name__ == "HRFactors" and len(f.panels) == 1
+    r = np.asarray(f.r, np.float64)[:n, :n]
+    qta = np.asarray(tileqr.apply_q(f, a, trans=True), np.float64)
+    assert np.linalg.norm(qta[:n] - r) / np.linalg.norm(a) < 2e-6
+    assert np.linalg.norm(qta[n:]) / np.linalg.norm(a) < 2e-6
+    c = rng.standard_normal((m, 8)).astype(np.float32)
+    back = np.asarray(
+        tileqr.apply_q(f, np.asarray(tileqr.apply_q(f, c, trans=True)))
+    )
+    assert np.abs(back - c).max() < 5e-6 * np.abs(c).max()
+    q = np.asarray(tileqr.orgqr(f, n), np.float64)
+    assert q.shape == (m, n)
+    assert np.linalg.norm(a - q @ r) / np.linalg.norm(a) < 2e-6
+    # guard: duplicate columns break the CholeskyQR contract → tree factors
+    b = a.copy()
+    b[:, 1] = b[:, 0]
+    with pytest.warns(UserWarning, match="hr guard"):
+        fb = tileqr.tsqr(b, mode="factor", strategy="cholqr2")
+    assert type(fb).__name__ == "TSQRFactors"
 
 
 def test_qr_batched_bad_method():

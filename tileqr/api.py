@@ -321,7 +321,10 @@ def tsqr(
         column loops at all, and the gram is the maximally
         communication-avoiding cross-chip reduction (a single psum).
         Fastest R-path on one chip (BASELINE.md r3) but requires
-        cond(A) ≲ 1e3 in fp32; no "factor" mode (Q is formed, not applied).
+        cond(A) ≲ 1e3 in fp32. mode="factor" returns whole-panel compact-WY
+        HRFactors via modified-LU Householder reconstruction
+        (square_hr.hr_panel with nb = panel width) — apply with
+        tileqr.apply_q / form Q with tileqr.orgqr.
       "auto": chain on compiled TPU (115.1 ms vs the tree's 230.5 ms at
         1048576×512, BASELINE.md — the chain's single carried-R pipeline
         still wins on one chip; the tree is the cross-chip reduction and
@@ -335,9 +338,30 @@ def tsqr(
         from tileqr.drivers.cholqr import cholqr2_batched
 
         if mode == "factor":
-            raise ValueError(
-                'tsqr(strategy="cholqr2") has no "factor" mode; use "tree"'
+            # whole-panel compact-WY factors at CholeskyQR2 speed (VERDICT
+            # r3 missing-#4): CholeskyQR2 → modified-LU Householder
+            # reconstruction — exactly square_hr.hr_panel with nb = the
+            # panel width. Returns HRFactors with ONE panel; apply_q /
+            # orgqr consume it through their existing hr route (the tree's
+            # TSQRFactors stay the unconditionally stable factor path).
+            from tileqr.drivers.square_hr import hr_panel, pad_for_hr
+
+            a = jnp.asarray(a, dtype=cfg.dtype)
+            m, n = a.shape
+            if m < n:
+                raise ValueError("tsqr requires M >= n")
+            nbp = round_up(max(n, 8), 8)
+            ap, _ = pad_for_hr(a, nbp)
+            stats = cfg.hr_guard != "off"
+            out = hr_panel(
+                ap, resolve_interpret(cfg.interpret), stats=stats
             )
+            y, t, rk = out[0], out[1], out[2]
+            health = out[3] if stats else None
+            bad = _guard_trips(health, cfg, "tsqr(factor, strategy='cholqr2')")
+            if bad and cfg.hr_guard == "fallback":
+                return tsqr(a, mode="factor", config=cfg, strategy="tree")
+            return HRFactors(rk, ((y, t),), nbp, (m, n), 1.0, health)
         a = jnp.asarray(a, dtype=cfg.dtype)
         m, n = a.shape
         if mode not in ("r", "reduced"):

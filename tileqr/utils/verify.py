@@ -39,7 +39,7 @@ def residual_via_qt(a, qta, r) -> float:
 
 
 def relerr_streamed(
-    apply_qt: Callable, a, r, col_block: int = 2048
+    apply_qt: Callable, a, r, col_block: int = 2048, n_cols: int = None
 ) -> float:
     """FULL-WIDTH ‖QᵀA − R‖F/‖A‖F without materializing QᵀA — the HBM-safe
     contract-scale residual (VERDICT r3 missing-#1: at 32768² fp32, QᵀA is
@@ -48,9 +48,14 @@ def relerr_streamed(
     ~7×, so slices are banned for acceptance rows).
 
     apply_qt: C (M, p) → QᵀC (M, p) on device (e.g.
-    ``lambda c: api.apply_q(f, c, trans=True)``). a: (M, N) device array.
-    r: (K, N) device array, K <= M; rows K..M of QᵀA are compared against
-    zero (the ‖A − QR‖F ≡ ‖QᵀA − [R; 0]‖F identity needs them).
+    ``lambda c: api.apply_q(f, c, trans=True)``). a: (M, N) device array, OR
+    a callable ``(j0, j1) -> (M, j1-j0) device block`` regenerating A's
+    column blocks (with ``n_cols`` giving N) — for paths whose factors
+    already fill HBM and cannot hold A alongside (dyn-HH at 32768²: the
+    input is donated to the factorization and A is rebuilt block-wise from
+    per-block PRNG keys). r: (K, N) device array, K <= M; rows K..M of QᵀA
+    are compared against zero (the ‖A − QR‖F ≡ ‖QᵀA − [R; 0]‖F identity
+    needs them).
 
     Per column block: one narrow apply + a jitted fp32 block sum-of-squares
     (an XLA tree reduce; entries are O(‖A‖·relerr) so fp32 partials carry
@@ -59,9 +64,18 @@ def relerr_streamed(
     import jax
     import jax.numpy as jnp
 
-    a = jnp.asarray(a)
+    if callable(a):
+        if n_cols is None:
+            raise ValueError("callable a requires n_cols")
+        get_blk, n = a, n_cols
+    else:
+        a = jnp.asarray(a)
+        n = a.shape[1]
+
+        def get_blk(j0, j1):
+            return a[:, j0:j1]
+
     r = jnp.asarray(r)
-    m, n = a.shape
     k = r.shape[0]
 
     @jax.jit
@@ -80,10 +94,12 @@ def relerr_streamed(
     den = 0.0
     for j0 in range(0, n, col_block):
         j1 = min(j0 + col_block, n)
-        a_blk = a[:, j0:j1]
+        a_blk = get_blk(j0, j1)
+        # denominator BEFORE the apply: chunked apply paths DONATE their
+        # input buffer, deleting a_blk
+        den += float(jax.device_get(_a_sumsq(a_blk)))
         qta = apply_qt(a_blk)
         num += float(jax.device_get(_blk_sumsq(qta, r[:, j0:j1])))
-        den += float(jax.device_get(_a_sumsq(a_blk)))
     return float(np.sqrt(num) / np.sqrt(den if den else 1.0))
 
 
