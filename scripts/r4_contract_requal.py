@@ -17,9 +17,11 @@ tunnel sync floor is <2%) and the full-width ‖QᵀA − R‖F/‖A‖F via
 utils.verify.relerr_streamed (measurement apply at HIGHEST with the
 pairwise/split-K W — the factor's quality, not the apply emulation's).
 
-Memory choreography: a (4 GiB) is retained for the residual; each factor's
-outputs are dropped before the next path runs. Peak ≈ a + carry + window
-temp + factors ≈ 14 GiB on the 16 GiB chip.
+Memory choreography: A is NEVER held across a factorization (the chunked
+driver's live set is already carry + window + factors ≈ 10-12 GiB on the
+16 GiB chip) — every path regenerates A on device per run and the residual
+pass regenerates A's column blocks from their per-block PRNG keys
+(relerr_streamed's callable-a mode).
 
 Usage: python scripts/r4_contract_requal.py [path ...]  (default: all 3)
 """
@@ -37,7 +39,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tileqr.drivers.square_hr import (  # noqa: E402
     apply_q_hr_chunked,
-    pad_for_hr,
     qr_hr_chunked,
 )
 from tileqr.utils.verify import relerr_streamed  # noqa: E402
@@ -76,26 +77,43 @@ def gen_blk(j0, j1):
     )()
 
 
+def _put_blk(a, blk, j0):
+    return jax.lax.dynamic_update_slice(a, blk, (0, j0))
+
+
+_put_blk = jax.jit(_put_blk, donate_argnums=(0,))
+
+
 def gen_a():
-    a = jax.jit(
-        lambda: jnp.concatenate(
-            [
-                jax.random.normal(
-                    jax.random.fold_in(jax.random.PRNGKey(0), j),
-                    (N, CB), jnp.float32,
-                )
-                for j in range(N // CB)
-            ],
-            axis=1,
-        )
-    )()
+    """Assemble A block-by-block with donated update-slices: peak device
+    memory A + one block ≈ 4.6 GiB (a single jitted concatenate holds all
+    block temps alongside the output — 8 GiB transient, which OOMed the
+    second run while the first run's frees were still draining through the
+    async tunnel)."""
+    a = jax.jit(lambda: jnp.zeros((N, N), jnp.float32))()
+    for j in range(N // CB):
+        a = _put_blk(a, gen_blk(j * CB, (j + 1) * CB), jnp.int32(j * CB))
     sync(a)
     return a
 
 
-def hr_path(a, precision):
+def settle():
+    """Give the async tunnel time to actually release freed device buffers
+    before the next multi-GiB allocation burst."""
+    sync(jax.jit(lambda: jnp.ones((8, 8), jnp.float32))())
+    time.sleep(5.0)
+
+
+def hr_path(precision):
+    """A is NOT held (first attempt OOMed: the chunked driver's live set is
+    carry + window + factors ≈ 10-12 GiB, BASELINE.md r3, and the original
+    4 GiB input alongside exceeds the 16 GB HBM). Each run regenerates A on
+    device and the factorization donates it as the carry; the residual
+    regenerates A's column blocks from their PRNG keys."""
+    assert N % NB == 0  # pad_for_hr would allocate a redundant 4 GiB copy
+
     def run():
-        ap, _ = pad_for_hr(a, NB)
+        ap = gen_a()
         t0 = time.perf_counter()
         r, panels = qr_hr_chunked(ap, NB, precision=precision,
                                   interpret=INTERP)
@@ -105,6 +123,7 @@ def hr_path(a, precision):
     t_cold, r, panels = run()
     log(f"hr-{precision}: cold factor {t_cold:.1f} s")
     r, panels = None, None
+    settle()
     t_warm, r, panels = run()
     log(
         f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
@@ -115,7 +134,7 @@ def hr_path(a, precision):
         lambda c: apply_q_hr_chunked(
             panels, jnp.asarray(c), NB, trans=True, precision="highest"
         ),
-        a, r, col_block=4096,
+        gen_blk, r, col_block=CB, n_cols=N,
     )
     log(
         f"hr-{precision}: FULL-WIDTH relerr {rel:.3e} "
@@ -142,6 +161,7 @@ def dyn_hh_path():
     t_cold, a_out, df = run()
     log(f"dyn-hh: cold factor {t_cold:.1f} s")
     a_out, df = None, None
+    settle()
     t_warm, a_out, df = run()
     log(
         f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
@@ -164,13 +184,12 @@ def dyn_hh_path():
 
 def main(paths):
     log(f"device: {jax.devices()}")
-    if "hr" in paths or "b3" in paths:
-        a = gen_a()
-        if "hr" in paths:
-            hr_path(a, "highest")
-        if "b3" in paths:
-            hr_path(a, "b3")
-        a = None
+    if "hr" in paths:
+        hr_path("highest")
+        settle()
+    if "b3" in paths:
+        hr_path("b3")
+        settle()
     if "dyn" in paths:
         dyn_hh_path()
 
