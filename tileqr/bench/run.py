@@ -49,38 +49,137 @@ def per_iter(make_chain, x, k, reps=3):
     return max((tk - t1) / (k - 1), 1e-9)
 
 
-def bench_square(n, nb, ib, precision, chain, check, chunk=4):
-    from tileqr.drivers.square import apply_q_tiled, assemble_r, qr_tiled
+def bench_square(n, nb, ib, precision, chain, check, chunk=4,
+                 method="hh", driver="static"):
+    """One square-QR measurement of the SHIPPING paths (VERDICT r3 weak-#2:
+    every BASELINE.md headline row must be reproducible by one CLI line):
 
+      --method hh --driver static    trace-unrolled tiled Householder
+      --method hh --driver dynamic   bounded-compile fori_loop HH driver
+      --method hr --driver static    CholeskyQR2 + Householder reconstruction
+      --method hr --driver chunked   bounded-compile segmented hr (the only
+                                     hr route past 64 panels; Python loop
+                                     over donated segment executables, so it
+                                     is timed by whole-run differencing, not
+                                     in-executable chaining)
+
+    --check emits the FULL-WIDTH streamed relerr (utils.verify.relerr_streamed
+    — 512-col slice checks are banned for acceptance rows, BASELINE.md r3)."""
     on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
     a = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)).astype(np.float32))
+    if (method, driver) in (("hh", "chunked"), ("hr", "dynamic")):
+        raise SystemExit(f"no {method} driver {driver!r} "
+                         "(hh: static/dynamic; hr: static/chunked)")
+    if method == "hr" and n % nb:
+        raise SystemExit(f"hr bench requires n % nb == 0 (got {n}, {nb})")
 
-    def make(k):
-        @jax.jit
-        def f(x):
-            for _ in range(k):
-                x = qr_tiled(x, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu)[0]
-            return x
+    if method == "hr":
+        from tileqr.drivers.square_hr import (
+            apply_q_hr, apply_q_hr_chunked, qr_hr, qr_hr_chunked,
+        )
 
-        return f
+        if driver == "chunked":
+            def run():
+                x = a + jnp.zeros((), a.dtype)  # fresh buffer (donated)
+                t0 = time.perf_counter()
+                r, panels = qr_hr_chunked(x, nb, precision=precision,
+                                          interpret=interp)
+                sync(r)
+                return time.perf_counter() - t0, r, panels
 
-    t = per_iter(make, a, chain)
+            t, r, panels = run()
+            t = min(t, *(run()[0] for _ in range(2)))
+        else:
+            def make(k):
+                @jax.jit
+                def f(x):
+                    for _ in range(k):
+                        r, _ = qr_hr(x, nb, precision=precision,
+                                     interpret=interp)
+                        x = x + r * jnp.float32(1e-30)
+                    return x
+
+                return f
+
+            t = per_iter(make, a, chain)
+    elif driver == "dynamic":
+        from tileqr.drivers.square_dyn import qr_tiled_dyn
+
+        def make(k):
+            @jax.jit
+            def f(x):
+                for _ in range(k):
+                    x = qr_tiled_dyn(x, nb, ib=ib, chunk=chunk,
+                                     precision=precision, interpret=interp)[0]
+                return x
+
+            return f
+
+        t = per_iter(make, a, chain)
+    else:
+        from tileqr.drivers.square import qr_tiled
+
+        def make(k):
+            @jax.jit
+            def f(x):
+                for _ in range(k):
+                    x = qr_tiled(x, nb, ib=ib, chunk=chunk,
+                                 precision=precision, interpret=interp)[0]
+                return x
+
+            return f
+
+        t = per_iter(make, a, chain)
+
     rec = {
-        "bench": "qr_square", "n": n, "nb": nb, "ib": ib, "chunk": chunk,
+        "bench": "qr_square", "method": method, "driver": driver,
+        "n": n, "nb": nb, "ib": ib, "chunk": chunk,
         "precision": precision, "ms": round(t * 1e3, 6),
         "tflops": round(qr_flops(n, n) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
     if check:
-        packed, r_diag, t_geqrt, panels = qr_tiled(
-            a, nb, ib=ib, chunk=chunk, precision=precision, interpret=not on_tpu
-        )
-        r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
-        qta = np.asarray(
-            apply_q_tiled(panels, t_geqrt, a, nb, chunk=chunk, trans=True,
-                          precision=precision, interpret=not on_tpu)
-        ).astype(np.float64)
-        rec["relerr"] = float(np.linalg.norm(qta - r) / np.linalg.norm(np.asarray(a)))
+        from tileqr.utils.verify import relerr_streamed
+
+        if method == "hr":
+            if driver == "chunked":
+                apply_qt = lambda c: apply_q_hr_chunked(  # noqa: E731
+                    panels, c, nb, trans=True, precision="highest",
+                    interpret=interp)
+            else:
+                r, panels = qr_hr(a, nb, precision=precision,
+                                  interpret=interp)
+                apply_qt = lambda c: apply_q_hr(  # noqa: E731
+                    panels, c, nb, trans=True, precision="highest",
+                    interpret=interp)
+        elif driver == "dynamic":
+            from tileqr.drivers.square import assemble_r
+            from tileqr.drivers.square_dyn import (
+                apply_q_tiled_dyn, qr_tiled_dyn,
+            )
+
+            a_out, df = qr_tiled_dyn(a, nb, ib=ib, chunk=chunk,
+                                     precision=precision, interpret=interp)
+            r = assemble_r(a_out, df.r_diag, nb)
+            apply_qt = lambda c: apply_q_tiled_dyn(  # noqa: E731
+                df, c, trans=True, precision="highest", interpret=interp)
+        else:
+            from tileqr.drivers.square import (
+                apply_q_tiled, assemble_r, qr_tiled,
+            )
+
+            packed, r_diag, t_geqrt, panels = qr_tiled(
+                a, nb, ib=ib, chunk=chunk, precision=precision,
+                interpret=interp)
+            r = assemble_r(packed, r_diag, nb)
+            apply_qt = lambda c: apply_q_tiled(  # noqa: E731
+                panels, t_geqrt, c, nb, chunk=chunk, trans=True,
+                precision="highest", interpret=interp)
+        # hr-chunked applies DONATE the target; relerr_streamed's ordering
+        # is donation-safe
+        rec["relerr"] = relerr_streamed(
+            apply_qt, a, r, col_block=min(n, 2048))
     return rec
 
 
@@ -105,10 +204,28 @@ def bench_jnp_qr(n, chain):
     }
 
 
-def bench_tsqr(m, cols, nb, chain):
-    from tileqr.drivers.tsqr import tsqr_factor
+def bench_tsqr(m, cols, nb, chain, strategy="tree", check=False,
+               precision="highest"):
+    """Tall-skinny measurement through the PUBLIC tsqr API so every shipping
+    strategy is one CLI line (VERDICT r3 weak-#2):
+
+      --strategy tree      TSQR/TTQRT tree (the factor/apply + cross-chip path)
+      --strategy chain     chunked square driver, one wide panel (the
+                           single-chip auto default)
+      --strategy cholqr2   gram + batched POTRF + matmul correction (fastest
+                           single-chip R, cond(A) ≲ 1e3 contract)
+
+    --check compares R against numpy's (sign-fixed row signs — R-uniqueness,
+    SURVEY §4 tall-skinny row)."""
+    import tileqr
 
     on_tpu = jax.default_backend() == "tpu"
+    # hr_guard="off" keeps the cholqr2 path traceable inside the chained
+    # timing executable (the guard's fallback branch is a host decision)
+    cfg = tileqr.QRConfig(
+        nb=max(nb, cols), ib=128 if on_tpu else 8,
+        interpret=not on_tpu, precision=precision, hr_guard="off",
+    )
     a = jnp.asarray(np.random.default_rng(0).standard_normal((m, cols)).astype(np.float32))
 
     def make(k):
@@ -116,18 +233,32 @@ def bench_tsqr(m, cols, nb, chain):
         def f(x):
             r = None
             for _ in range(k):
-                r = tsqr_factor(x, nb, interpret=not on_tpu).r
+                r = tileqr.tsqr(x, mode="r", config=cfg, strategy=strategy)
                 x = x + r[0, 0] * jnp.float32(1e-9)
             return x
 
         return f
 
     t = per_iter(make, a, chain)
-    return {
-        "bench": "tsqr", "m": m, "n": cols, "nb": nb, "ms": round(t * 1e3, 6),
+    rec = {
+        "bench": "tsqr", "strategy": strategy, "m": m, "n": cols, "nb": nb,
+        "precision": precision, "ms": round(t * 1e3, 6),
         "tflops": round(qr_flops(m, cols) / t / 1e12, 9),
         "backend": jax.default_backend(),
     }
+    if check:
+        r = np.asarray(
+            tileqr.tsqr(a, mode="r", config=cfg, strategy=strategy),
+            np.float64,
+        )
+        r_np = np.linalg.qr(np.asarray(a, np.float64), mode="r")
+        # sign-fix both to positive diagonals (R unique up to row signs)
+        r = np.where(np.diag(r) < 0, -1.0, 1.0)[:, None] * r
+        r_np = np.where(np.diag(r_np) < 0, -1.0, 1.0)[:, None] * r_np
+        rec["relerr_r"] = float(
+            np.linalg.norm(r - r_np) / np.linalg.norm(r_np)
+        )
+    return rec
 
 
 def bench_batched(batch, cols, chain, check=False, method="hh"):
@@ -190,7 +321,17 @@ def main():
     ap.add_argument("--sizes", default="1024,4096")
     ap.add_argument("--nbs", default="256")
     ap.add_argument("--ibs", default="32")
-    ap.add_argument("--precisions", default="highest")
+    ap.add_argument("--precisions", default="highest",
+                    help="comma list of highest,b3,default")
+    ap.add_argument("--method", default="hh", choices=["hh", "hr"],
+                    help="square path: tiled Householder or CholeskyQR2+"
+                    "Householder-reconstruction")
+    ap.add_argument("--driver", default="static",
+                    choices=["static", "dynamic", "chunked"],
+                    help="hh: static/dynamic; hr: static/chunked")
+    ap.add_argument("--strategy", default="tree",
+                    choices=["tree", "chain", "cholqr2"],
+                    help="tsqr mode only")
     ap.add_argument("--cols", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--chain", type=int, default=3)
@@ -210,12 +351,17 @@ def main():
             for nb in [int(x) for x in args.nbs.split(",")]:
                 for ib in [int(x) for x in args.ibs.split(",")]:
                     for prec in args.precisions.split(","):
-                        print(json.dumps(bench_square(n, nb, ib, prec, args.chain, args.check, args.chunk)), flush=True)
+                        print(json.dumps(bench_square(
+                            n, nb, ib, prec, args.chain, args.check,
+                            args.chunk, args.method, args.driver)), flush=True)
         elif args.mode == "baseline":
             print(json.dumps(bench_jnp_qr(n, args.chain)), flush=True)
         elif args.mode == "tsqr":
             for nb in [int(x) for x in args.nbs.split(",")]:
-                print(json.dumps(bench_tsqr(n, args.cols, nb, args.chain)), flush=True)
+                for prec in args.precisions.split(","):
+                    print(json.dumps(bench_tsqr(
+                        n, args.cols, nb, args.chain, args.strategy,
+                        args.check, prec)), flush=True)
         elif args.mode == "batched":
             print(json.dumps(bench_batched(args.batch, args.cols, args.chain, args.check, args.batched_method)), flush=True)
 
