@@ -57,6 +57,23 @@ def sync(x):
     _ = np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
+def free(*trees):
+    """Explicitly delete device buffers NOW — python rebinding alone leaves
+    multi-GiB frees to GC timing + the async tunnel, which is exactly what
+    OOMed the warm runs (the chunked driver's live set is 10-12 GiB and the
+    cold run's factors must be GONE before the next gen_a burst)."""
+    import gc
+
+    for tr in trees:
+        for leaf in jax.tree_util.tree_leaves(tr):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+    gc.collect()
+
+
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
@@ -97,11 +114,28 @@ def gen_a():
     return a
 
 
+def retry_oom(fn, waits=(30.0, 90.0)):
+    """The async tunnel can hold multi-GiB frees long after the python-side
+    delete; on RESOURCE_EXHAUSTED wait out the drain and retry."""
+    for w in waits:
+        try:
+            return fn()
+        except Exception as exc:  # jax.errors.JaxRuntimeError
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            log(f"warm run OOM — waiting {w:.0f} s for the tunnel drain")
+            import gc
+
+            gc.collect()
+            time.sleep(w)
+    return fn()
+
+
 def settle():
     """Give the async tunnel time to actually release freed device buffers
     before the next multi-GiB allocation burst."""
     sync(jax.jit(lambda: jnp.ones((8, 8), jnp.float32))())
-    time.sleep(5.0)
+    time.sleep(10.0)
 
 
 def hr_path(precision):
@@ -122,9 +156,10 @@ def hr_path(precision):
 
     t_cold, r, panels = run()
     log(f"hr-{precision}: cold factor {t_cold:.1f} s")
+    free((r, panels))
     r, panels = None, None
     settle()
-    t_warm, r, panels = run()
+    t_warm, r, panels = retry_oom(run)
     log(
         f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
         f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
@@ -160,15 +195,19 @@ def dyn_hh_path():
 
     t_cold, a_out, df = run()
     log(f"dyn-hh: cold factor {t_cold:.1f} s")
+    free((a_out, df))
     a_out, df = None, None
     settle()
-    t_warm, a_out, df = run()
+    t_warm, a_out, df = retry_oom(run)
     log(
         f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
         f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
     )
     r = assemble_r(a_out, df.r_diag, NB)
+    sync(r)
+    free(a_out)
     a_out = None
+    settle()
     t0 = time.perf_counter()
     rel = relerr_streamed(
         lambda c: apply_q_tiled_dyn(df, jnp.asarray(c), trans=True,
@@ -183,13 +222,25 @@ def dyn_hh_path():
 
 
 def main(paths):
+    if len(paths) > 1:
+        # one subprocess per path: process exit is the only guaranteed full
+        # HBM release (the 10-12 GiB live sets of consecutive paths
+        # otherwise race the tunnel drain); the persistent compile cache is
+        # shared
+        import subprocess
+
+        for p in paths:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), p]
+            )
+            if rc != 0:
+                log(f"path {p} failed rc={rc}")
+        return
     log(f"device: {jax.devices()}")
     if "hr" in paths:
         hr_path("highest")
-        settle()
     if "b3" in paths:
         hr_path("b3")
-        settle()
     if "dyn" in paths:
         dyn_hh_path()
 

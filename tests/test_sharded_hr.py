@@ -41,7 +41,8 @@ def test_hr_sharded_square(rng, mesh_shape):
     r = np.asarray(assemble_r_sharded_hr(f, mesh))
     assert r.shape == a.shape
     assert np.all(np.tril(r, -1) == 0)
-    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    # measured 2.2-4.0e-07 over 3 seeds (r4 gate probe); ~2.5x headroom
+    assert _relerr_vs_numpy_r(a, r) < 1e-6
 
 
 @needs_8
@@ -55,11 +56,15 @@ def test_hr_sharded_rectangular_deep(rng):
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg, segments=4)
     r = np.asarray(assemble_r_sharded_hr(f, mesh))
     assert r.shape == (m, n)
-    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    # measured 1.6-2.2e-07 (R) / 2.0-2.2e-07 (apply) over 3 seeds (r4 gate
+    # probe); the 5e-5 gates were an order looser than the single-chip
+    # twins and could hide a reconstruction-algebra regression (VERDICT r3
+    # weak-#4)
+    assert _relerr_vs_numpy_r(a, r) < 1e-6
     # residual through the apply path: Qᵀ A should reproduce [R; 0]
     qta = np.asarray(apply_q_sharded_hr(f, a, mesh, trans=True, config=cfg))
-    assert np.abs(qta[:n] - r[:n]).max() / np.abs(r).max() < 5e-5
-    assert np.abs(qta[n:]).max() / np.abs(r).max() < 5e-5
+    assert np.abs(qta[:n] - r[:n]).max() / np.abs(r).max() < 1e-6
+    assert np.abs(qta[n:]).max() / np.abs(r).max() < 1e-6
 
 
 @needs_8
@@ -72,7 +77,8 @@ def test_hr_sharded_apply_q_roundtrip(rng):
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
     qtc = apply_q_sharded_hr(f, c, mesh, trans=True, config=cfg)
     back = np.asarray(apply_q_sharded_hr(f, np.asarray(qtc), mesh, trans=False, config=cfg))
-    assert np.abs(back - c).max() < 5e-5 * np.abs(c).max()
+    # measured 3.3-4.1e-07 over 3 seeds (r4 gate probe)
+    assert np.abs(back - c).max() < 1e-6 * np.abs(c).max()
 
 
 @needs_8
@@ -117,7 +123,7 @@ def test_hr_sharded_api_routing(rng):
     cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr")
     a = rng.standard_normal((32, 16)).astype(np.float32)
     r = np.asarray(qr_sharded(a, mesh=mesh, config=cfg))
-    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    assert _relerr_vs_numpy_r(a, r) < 1e-6
     f = qr_sharded(a, mesh=mesh, config=cfg, mode="factor")
     assert type(f).__name__ == "ShardedHRFactors"
 
@@ -130,7 +136,7 @@ def test_hr_sharded_1x1_mesh(rng):
     a = rng.standard_normal((64, 48)).astype(np.float32)
     f = qr_sharded_factor_hr(a, mesh=mesh, config=cfg)
     r = np.asarray(assemble_r_sharded_hr(f, mesh))
-    assert _relerr_vs_numpy_r(a, r) < 5e-5
+    assert _relerr_vs_numpy_r(a, r) < 1e-6
 
 
 def test_hr_sharded_b3(rng):

@@ -509,10 +509,19 @@ def qr_hr_chunked(
         # merge them into the final R under one donated jit
         r = _finish_r_kernel(carry, jnp.concatenate(rstacks), nb, k_max)
     else:
-        r = jnp.triu(carry[: k_max * nb])
+        # donated: at 32768² the eager triu would hold carry + R (two 4 GiB
+        # buffers) at the factorization tail — with donation XLA reuses the
+        # carry's buffer for R (exact alias when the matrix is square), and
+        # the warm-run HBM residue at contract scale halves (r4 requal OOM)
+        r = _finish_r_plain(carry, k_max * nb)
     if stats:
         return r, tuple(panels), health
     return r, tuple(panels)
+
+
+@functools.partial(jax.jit, static_argnames=("k_rows",), donate_argnums=(0,))
+def _finish_r_plain(carry, k_rows: int):
+    return jnp.triu(carry[:k_rows])
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "k_max"), donate_argnums=(0,))
