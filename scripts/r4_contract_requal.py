@@ -78,6 +78,18 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def mem(tag):
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        log(
+            f"mem[{tag}]: in_use {st.get('bytes_in_use', -1)/2**30:.2f} GiB"
+            f" peak {st.get('peak_bytes_in_use', -1)/2**30:.2f}"
+            f" limit {st.get('bytes_limit', -1)/2**30:.2f}"
+        )
+    except Exception as exc:
+        log(f"mem[{tag}]: unavailable ({exc})")
+
+
 # A is built from per-column-block PRNG keys so the residual pass can
 # regenerate any block EXACTLY without holding the 4 GiB input (the dyn-HH
 # factors + R already fill HBM; see relerr_streamed's callable-a mode)
@@ -123,6 +135,7 @@ def retry_oom(fn, waits=(30.0, 90.0)):
         except Exception as exc:  # jax.errors.JaxRuntimeError
             if "RESOURCE_EXHAUSTED" not in str(exc):
                 raise
+            mem("oom")
             log(f"warm run OOM — waiting {w:.0f} s for the tunnel drain")
             import gc
 
@@ -148,6 +161,7 @@ def hr_path(precision):
 
     def run():
         ap = gen_a()
+        mem("A generated")
         t0 = time.perf_counter()
         r, panels = qr_hr_chunked(ap, NB, precision=precision,
                                   interpret=INTERP)
@@ -156,14 +170,10 @@ def hr_path(precision):
 
     t_cold, r, panels = run()
     log(f"hr-{precision}: cold factor {t_cold:.1f} s")
-    free((r, panels))
-    r, panels = None, None
-    settle()
-    t_warm, r, panels = retry_oom(run)
-    log(
-        f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
-        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
-    )
+    mem("cold done")
+    # residual FIRST, on the cold factors — the accuracy number is the
+    # acceptance-critical artifact and must not depend on the warm-timing
+    # attempt surviving the tunnel's free-drain behavior
     t0 = time.perf_counter()
     rel = relerr_streamed(
         lambda c: apply_q_hr_chunked(
@@ -174,6 +184,15 @@ def hr_path(precision):
     log(
         f"hr-{precision}: FULL-WIDTH relerr {rel:.3e} "
         f"(residual pass {time.perf_counter()-t0:.1f} s)"
+    )
+    free((r, panels))
+    r, panels = None, None
+    settle()
+    mem("after free+settle")
+    t_warm, r, panels = retry_oom(run)
+    log(
+        f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
+        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
     )
     return t_warm, rel
 
@@ -195,14 +214,8 @@ def dyn_hh_path():
 
     t_cold, a_out, df = run()
     log(f"dyn-hh: cold factor {t_cold:.1f} s")
-    free((a_out, df))
-    a_out, df = None, None
-    settle()
-    t_warm, a_out, df = retry_oom(run)
-    log(
-        f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
-        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
-    )
+    mem("cold done")
+    # residual FIRST on the cold factors (see hr_path)
     r = assemble_r(a_out, df.r_diag, NB)
     sync(r)
     free(a_out)
@@ -217,6 +230,15 @@ def dyn_hh_path():
     log(
         f"dyn-hh: FULL-WIDTH relerr {rel:.3e} "
         f"(residual pass {time.perf_counter()-t0:.1f} s)"
+    )
+    free((r, df))
+    r, df = None, None
+    settle()
+    mem("after free+settle")
+    t_warm, a_out, df = retry_oom(run)
+    log(
+        f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
+        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
     )
     return t_warm, rel
 

@@ -39,7 +39,8 @@ def test_bench_square_rejects_bad_combo():
 
 @pytest.mark.parametrize("strategy", ["tree", "chain", "cholqr2"])
 def test_bench_tsqr(strategy):
-    rec = bench_tsqr(512, 64, 128, chain=2, strategy=strategy, check=True)
+    # 256 rows: same leaf/combine structure as 512 at half the interpret cost
+    rec = bench_tsqr(256, 64, 128, chain=2, strategy=strategy, check=True)
     assert rec["strategy"] == strategy
     assert rec["ms"] > 0 and rec["tflops"] > 0
     assert rec["relerr_r"] < 1e-5
