@@ -113,13 +113,20 @@ def _put_blk(a, blk, j0):
 _put_blk = jax.jit(_put_blk, donate_argnums=(0,))
 
 
-def gen_a():
+def gen_a(buf=None):
     """Assemble A block-by-block with donated update-slices: peak device
     memory A + one block ≈ 4.6 GiB (a single jitted concatenate holds all
     block temps alongside the output — 8 GiB transient, which OOMed the
     second run while the first run's frees were still draining through the
-    async tunnel)."""
-    a = jax.jit(lambda: jnp.zeros((N, N), jnp.float32))()
+    async tunnel).
+
+    buf: an existing (N, N) fp32 device array to DONATE as the target —
+    the 8 column blocks tile the full matrix, so every stale element is
+    overwritten and NO new 4 GiB allocation happens (the warm-run trick:
+    recycle R's buffer instead of fighting the tunnel's free-drain)."""
+    a = buf if buf is not None else jax.jit(
+        lambda: jnp.zeros((N, N), jnp.float32)
+    )()
     for j in range(N // CB):
         a = _put_blk(a, gen_blk(j * CB, (j + 1) * CB), jnp.int32(j * CB))
     sync(a)
@@ -185,15 +192,35 @@ def hr_path(precision):
         f"hr-{precision}: FULL-WIDTH relerr {rel:.3e} "
         f"(residual pass {time.perf_counter()-t0:.1f} s)"
     )
-    free((r, panels))
-    r, panels = None, None
+    # warm timing: recycle R's 4 GiB buffer as the new A (gen_a(buf=r)
+    # donates it; the 8 blocks tile the matrix) so the warm run allocates
+    # NOTHING new at full size — only the panels' ~2.5 GiB must drain.
+    free(panels)
+    panels = None
     settle()
-    mem("after free+settle")
-    t_warm, r, panels = retry_oom(run)
-    log(
-        f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
-        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
-    )
+
+    state = {"buf": r}
+    r = None
+
+    def warm():
+        # R's buffer can be donated only once — retries allocate fresh
+        a2 = gen_a(buf=state.pop("buf", None))
+        t0 = time.perf_counter()
+        r2, p2 = qr_hr_chunked(a2, NB, precision=precision,
+                               interpret=INTERP)
+        sync(r2)
+        return time.perf_counter() - t0, r2, p2
+
+    try:
+        t_warm, _, _ = retry_oom(warm)
+        log(
+            f"hr-{precision}: warm factor {t_warm*1e3:.1f} ms = "
+            f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
+        )
+    except Exception as exc:
+        # non-fatal: the acceptance-critical residual is already logged
+        t_warm = float("nan")
+        log(f"hr-{precision}: warm timing unavailable ({type(exc).__name__})")
     return t_warm, rel
 
 
@@ -231,15 +258,30 @@ def dyn_hh_path():
         f"dyn-hh: FULL-WIDTH relerr {rel:.3e} "
         f"(residual pass {time.perf_counter()-t0:.1f} s)"
     )
-    free((r, df))
-    r, df = None, None
+    free(df)
+    df = None
     settle()
     mem("after free+settle")
-    t_warm, a_out, df = retry_oom(run)
-    log(
-        f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
-        f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
-    )
+    state = {"buf": r}
+    r = None
+
+    def warm():
+        ap = gen_a(buf=state.pop("buf", None))
+        t0 = time.perf_counter()
+        a2, d2 = qr_tiled_dyn(ap, NB, ib=128, chunk=4, precision="highest",
+                              interpret=INTERP, donate=True)
+        sync(a2)
+        return time.perf_counter() - t0, a2, d2
+
+    try:
+        t_warm, _, _ = retry_oom(warm)
+        log(
+            f"dyn-hh: warm factor {t_warm*1e3:.1f} ms = "
+            f"{FLOPS / t_warm / 1e12:.2f} TFLOP/s"
+        )
+    except Exception as exc:
+        t_warm = float("nan")
+        log(f"dyn-hh: warm timing unavailable ({type(exc).__name__})")
     return t_warm, rel
 
 
