@@ -48,17 +48,27 @@ def run_once(f, x):
     return time.perf_counter() - t0
 
 
-def chained(body, x, k=16, reps=3):
-    """per-iter wall of `body` by (T_k - T_1)/(k - 1) differencing."""
+def chained(body, x, k=16, reps=5):
+    """per-iter wall of `body` by (T_k - T_1)/(k - 1) differencing.
+
+    r4 fix: the nb² bodies are single-digit µs while the tunnel's dispatch
+    jitter is ~±0.5-2 ms, so k must be large enough that (k-1)·body ≫
+    jitter (the r3/early-r4 runs at k ≤ 64 produced NEGATIVE differences).
+    The chain runs as a fori_loop (O(1) compile at any k) with the
+    1e-30-scaled output element folded into the carry to keep a data
+    dependence between iterations."""
 
     def mk(kk):
         @jax.jit
         def f(x):
-            for _ in range(kk):
-                out = body(x)
+            def it(_, xc):
+                out = body(xc)
                 leaf = jax.tree_util.tree_leaves(out)[0]
-                x = x + (leaf.ravel()[0] * jnp.float32(1e-30)).astype(x.dtype)
-            return x
+                return xc + (leaf.ravel()[0] * jnp.float32(1e-30)).astype(
+                    xc.dtype
+                )
+
+            return jax.lax.fori_loop(0, kk, it, x, unroll=False)
 
         return f
 
@@ -122,28 +132,28 @@ def main(m):
         print(f"{name:8s} {val_us:9.1f} us", flush=True)
 
     rec("panel", chained(
-        lambda p: shr.hr_panel_fused(p, False), panel, k=8) * 1e6)
+        lambda p: shr.hr_panel_fused(p, False), panel, k=64) * 1e6)
     rec("gram", chained(
         lambda p: bdot_pair_rows(p[None], p[None], HI, jnp.float32)[0],
-        panel, k=16) * 1e6)
+        panel, k=256) * 1e6)
     rec("tdot", chained(
-        lambda p: jnp.dot(p, s1, precision=HI), panel, k=16) * 1e6)
+        lambda p: jnp.dot(p, s1, precision=HI), panel, k=256) * 1e6)
     rec("potrf", chained(
         lambda gg: potrf_batched(gg[None], group=1, precision="highest")[0],
-        g, k=32) * 1e6)
+        g, k=512) * 1e6)
     rec("modlu", chained(
-        lambda q: modified_lu(q, interpret=False)[0], q1[:NB], k=32) * 1e6)
+        lambda q: modified_lu(q, interpret=False)[0], q1[:NB], k=512) * 1e6)
     rec("inv1", chained(
-        lambda rr: _triu_inv_doubling(rr[None], HI)[0], r1, k=32) * 1e6)
+        lambda rr: _triu_inv_doubling(rr[None], HI)[0], r1, k=256) * 1e6)
     # both doubling inputs upper-triangular, as at the real call site
     # ([uu, l1.T]) — rr.T would be lower-triangular (values meaningless for
     # that routine, and this is a values-could-be-reused trap even though
     # the fixed doubling-step matmul count makes the timing identical)
     rec("inv2", chained(
         lambda rr: _triu_inv_doubling(jnp.stack([rr, rr]), HI)[0],
-        r1, k=32) * 1e6)
+        r1, k=256) * 1e6)
     rec("dot", chained(
-        lambda gg: jnp.dot(gg, s1, precision=HI), g, k=64) * 1e6)
+        lambda gg: jnp.dot(gg, s1, precision=HI), g, k=1024) * 1e6)
 
     def smalls_body(gg):
         # every closed-over nb² input is perturbed by the chained value so
@@ -156,7 +166,7 @@ def main(m):
         return (l1.ravel()[0] + t.ravel()[0] + rk.ravel()[0]
                 + fold.ravel()[0])[None]
 
-    rec("smalls", chained(smalls_body, g, k=8) * 1e6)
+    rec("smalls", chained(smalls_body, g, k=128) * 1e6)
 
     tall = rows[1][1] * 2 + rows[2][1] * 2  # gram+E, q1+l2
     print(f"\nsum check: 4 tall passes ~{tall:.0f} us; potrf+inv1 "
