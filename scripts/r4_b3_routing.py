@@ -69,11 +69,15 @@ for n in [int(s) for s in sys.argv[1:]] or [4096, 8192]:
         flush=True,
     )
 
+    # qr_hr_chunked DONATES its input: hand each timed run a fresh copy
+    # (the eager add allocates one; its cost is ~0.1 ms at 4096², identical
+    # across reps)
+    fresh = lambda x: x + jnp.zeros((), x.dtype)  # noqa: E731
     t0 = time.perf_counter()
-    r_c = qr_hr_chunked(a, NB, precision="b3")
+    r_c = qr_hr_chunked(fresh(a), NB, precision="b3")
     sync(r_c[0])
     print(f"chunked-b3 {n}^2 first: {time.perf_counter()-t0:.1f} s", flush=True)
-    tc = best_of(lambda x: qr_hr_chunked(x, NB, precision="b3")[0], a)
+    tc = best_of(lambda x: qr_hr_chunked(fresh(x), NB, precision="b3")[0], a)
     print(
         f"chunked-b3 {n}^2 ({n//NB} panels): {tc*1e3:7.2f} ms  "
         f"{flops(n)/tc/1e12:5.2f} TFLOP/s  relerr {relerr_r(a, r_c[0]):.2e}  "

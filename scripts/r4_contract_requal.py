@@ -47,6 +47,11 @@ import os  # noqa: E402
 
 N = int(os.environ.get("TILEQR_REQUAL_N", "32768"))
 NB = int(os.environ.get("TILEQR_REQUAL_NB", "256"))
+# barrier spacing for the hr chunked runs: 1 keeps ONE live 4 GiB trailing
+# temp instead of two (the r3 seg/be sweep measured the defaults flat, so
+# a be=1 warm timing is representative) — the warm-run OOM margin at the
+# contract size is exactly one such temp
+BE = int(os.environ.get("TILEQR_REQUAL_BE", "2"))
 FLOPS = 2.0 * N * N * (N - N / 3.0)
 
 
@@ -171,7 +176,7 @@ def hr_path(precision):
         mem("A generated")
         t0 = time.perf_counter()
         r, panels = qr_hr_chunked(ap, NB, precision=precision,
-                                  interpret=INTERP)
+                                  interpret=INTERP, barrier_every=BE)
         sync(r)
         return time.perf_counter() - t0, r, panels
 
@@ -207,7 +212,7 @@ def hr_path(precision):
         a2 = gen_a(buf=state.pop("buf", None))
         t0 = time.perf_counter()
         r2, p2 = qr_hr_chunked(a2, NB, precision=precision,
-                               interpret=INTERP)
+                               interpret=INTERP, barrier_every=BE)
         sync(r2)
         return time.perf_counter() - t0, r2, p2
 
@@ -242,10 +247,14 @@ def dyn_hh_path():
     t_cold, a_out, df = run()
     log(f"dyn-hh: cold factor {t_cold:.1f} s")
     mem("cold done")
-    # residual FIRST on the cold factors (see hr_path)
-    r = assemble_r(a_out, df.r_diag, NB)
+    # residual FIRST on the cold factors (see hr_path). assemble_r run
+    # EAGERLY holds triu/update/reshape temps (3-4 extra 4 GiB buffers)
+    # alongside a_out + df and OOMs; under a donated jit XLA reuses
+    # a_out's buffer (df carries its own copies of the reflector tiles,
+    # so a_out is dead after this).
+    asm = jax.jit(assemble_r, static_argnames=("nb",), donate_argnums=(0,))
+    r = asm(a_out, df.r_diag, nb=NB)
     sync(r)
-    free(a_out)
     a_out = None
     settle()
     t0 = time.perf_counter()

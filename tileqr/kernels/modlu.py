@@ -47,8 +47,12 @@ def _mk_modlu_kernel(n: int):
 
         def step(j, _):
             m = lu_ref[...]
-            # row j (already final: rank-1 updates only touch rows > j)
-            rowj = jnp.sum(jnp.where(sub == j, m, zero), axis=0, keepdims=True)
+            # row j (already final: rank-1 updates only touch rows > j) —
+            # a dynamic SUBLANE slice is one (1, n) vector load; the
+            # masked full-block reduce it replaces was a whole extra
+            # (n, n) pass per step (r4 panel-micro: modlu is 106 µs of the
+            # 274 µs fused panel, ~5 full-block passes/step)
+            rowj = lu_ref[pl.ds(j, 1), :]
             piv0 = jnp.sum(
                 jnp.where(lane_row == j, rowj, zero), axis=1, keepdims=True
             )
