@@ -177,12 +177,18 @@ def test_hr_b3_protected_split(rng):
     land in the b3 accuracy class (~1e-5), far better than one bf16 pass
     (~1e-2). On CPU the DEFAULT-precision passes are computed in fp32, so
     this test pins the plumbing (routing + correctness), not the on-chip
-    error — that's BASELINE.md's job."""
+    error — that's BASELINE.md's job. Since r4 b3 follows the same
+    static/chunked panel-count rule as "highest" (measured,
+    scripts/r4_b3_routing.py), so both routes are pinned here: "static"
+    resolves to the trace-unrolled qr_hr (value-form panel_apply),
+    "dynamic" to the segmented qr_hr_chunked (in-place panel_apply)."""
     a = rng.standard_normal((128, 96)).astype(np.float32)
-    q, r = tileqr.qr(a, config=CFG.replace(precision="b3"))
-    assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-4
-    q64 = np.asarray(q, np.float64)
-    assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-3
+    for driver in ("static", "dynamic"):
+        cfg = CFG.replace(precision="b3", driver=driver)
+        q, r = tileqr.qr(a, config=cfg)
+        assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-4
+        q64 = np.asarray(q, np.float64)
+        assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-3
 
 
 def test_hr_chunked_bitwise_matches_static(rng):

@@ -136,14 +136,17 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     if cfg.square_method == "hr":
         stats = cfg.hr_guard != "off"
         ap, _ = pad_for_hr(a, cfg.nb)
-        if cfg.resolve_driver(m, n) == "dynamic" or cfg.precision == "b3":
+        if cfg.resolve_driver(m, n) == "dynamic":
             # bounded-compile twin (same policy as the hh path): the
             # trace-unrolled qr_hr at 128 panels OOMs the XLA compile
             # itself; the segmented driver is bitwise-identical (pinned by
-            # test) and compiles O(k_max/8) small programs. b3 ALWAYS
-            # routes here: the chunked driver hosts the in-place Pallas
-            # apply (kernels/panel_apply.py) that makes b3 faster than
-            # highest — the XLA-level emulation is slower (BASELINE.md r3)
+            # test) and compiles O(k_max/8) small programs. b3 follows the
+            # SAME panel-count rule as "highest" since r4: both drivers run
+            # the identical Pallas panel-apply kernel (chunked in-place,
+            # static in value form), and the r4 measurement
+            # (scripts/r4_b3_routing.py) put static-b3 at 0.87x chunked's
+            # wall at 16 panels and 1.02x at 32 — the r3 "b3 always
+            # chunked" rule was asserted, not measured, below 32 panels
             out = qr_hr_chunked(
                 ap, cfg.nb, precision=cfg.precision,
                 interpret=resolve_interpret(cfg.interpret), stats=stats,
