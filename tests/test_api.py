@@ -177,10 +177,86 @@ def test_relerr_streamed_matches_dense(rng):
         dense = np.linalg.norm(qta - r_pad) / np.linalg.norm(a)
         streamed = tileqr.relerr_streamed(
             lambda c, f=f, cfg=cfg: tileqr.apply_q(f, c, trans=True, config=cfg),
-            a, np.asarray(r), col_block=48,
+            a, np.asarray(r), col_block=96,  # blocks 96, 64 — ragged tail
         )
         assert 0.5 * dense <= streamed <= 2.0 * dense
         assert streamed < 3e-6
+
+
+def test_relerr_streamed_callable_a_matches_array(rng):
+    """Callable-A mode (per-block regeneration) ≡ array-A mode BITWISE on
+    identical data (VERDICT r4 weak-#2 / next-#5): the 32768² acceptance
+    rows were produced through the callable form (PRNG block regeneration,
+    scripts/r4_contract_requal.py) while the exactness test covered only
+    the array form — an off-by-one in the block→key mapping would silently
+    corrupt the acceptance numbers. Covers a ragged last block, K < M
+    rows, and the r4 harness's exact fold_in(key, j0) regeneration
+    pattern; also pins the denominator-before-apply donation-order
+    contract (the apply here consumes/overwrites its input block)."""
+    import jax
+
+    m, n, k = 96, 80, 80
+    key = jax.random.PRNGKey(7)
+
+    def gen_blk(j0, j1):
+        return jax.random.normal(
+            jax.random.fold_in(key, j0), (m, j1 - j0), jnp.float32
+        )
+
+    col_block = 32  # blocks 32, 32, 16 — ragged tail
+    a_full = jnp.concatenate(
+        [gen_blk(j0, min(j0 + col_block, n)) for j0 in range(0, n, col_block)],
+        axis=1,
+    )
+    r_synth = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+
+    def apply_qt(c):
+        # non-trivial, input-consuming apply stand-in: the donated-buffer
+        # drivers overwrite their input, so the streamed harness must have
+        # banked the denominator before calling this
+        return jnp.flipud(c) * jnp.float32(1.5)
+
+    got_arr = tileqr.relerr_streamed(apply_qt, a_full, r_synth, col_block=col_block)
+    got_call = tileqr.relerr_streamed(
+        apply_qt, gen_blk, r_synth, col_block=col_block, n_cols=n
+    )
+    assert got_call == got_arr  # bitwise: identical blocks, identical math
+    with pytest.raises(ValueError, match="n_cols"):
+        tileqr.relerr_streamed(apply_qt, gen_blk, r_synth, col_block=col_block)
+
+
+def test_orth_streamed_matches_dense(rng):
+    """Streamed orthogonality estimate (utils/verify.orth_streamed, VERDICT
+    r4 missing-#3): (a) machinery check — a known non-orthogonal linear map
+    Q (diagonal scaling) gives an estimate of ‖QᵀQ − I‖F within the
+    gaussian-probe estimator's statistical spread; (b) on real hh and hr
+    factors the estimate lands within 3× of the dense host ‖QᵀQ − I‖F from
+    orgqr (and inside the acceptance class)."""
+    from tileqr.utils.verify import orth_streamed
+
+    m, n = 160, 128
+    # (a) machinery: Q = diag(d) ⇒ ‖QᵀQ − I‖F known exactly
+    d = jnp.asarray(1.0 + rng.standard_normal(m).astype(np.float32) * 1e-3)
+    want = float(np.linalg.norm(np.asarray(d, np.float64) ** 2 - 1.0))
+    got = orth_streamed(
+        lambda c: c * d[:, None], lambda c: c * d[:, None], m,
+        probes=512, block=128,
+    )
+    assert 0.6 * want <= got <= 1.6 * want
+    # (b) factor-level, both square methods
+    for cfg in (CFG, QRConfig(nb=64, square_method="hr")):
+        a = rng.standard_normal((m, n)).astype(np.float32)
+        f = tileqr.qr_factor(a, config=cfg)
+        q = np.asarray(tileqr.orgqr(f, m, config=cfg), np.float64)
+        dense = np.linalg.norm(q.T @ q - np.eye(m))
+        est = orth_streamed(
+            lambda c, f=f, cfg=cfg: tileqr.apply_q(f, c, config=cfg),
+            lambda c, f=f, cfg=cfg: tileqr.apply_q(f, c, trans=True, config=cfg),
+            m, probes=256, block=128,
+        )
+        # the streamed roundtrip includes the applies' own fp32 rounding;
+        # both numbers are O(m·eps) — same class, loose factor
+        assert est <= 3.0 * max(dense, 1e-6) and est < 1e-4
 
 
 def test_qr_dynamic_driver_matches_static(rng):
@@ -341,8 +417,12 @@ def test_factors_are_jit_transparent(rng):
     )(fd, a)
     assert relerr(np.asarray(qta_d)[:128], r_full) < 3e-6
 
+    # strategy="tree" explicitly: the point here is the TSQRFactors pytree's
+    # jit transparency (since r5, auto+factor routes to cholqr2 HRFactors —
+    # covered by the hh/hr apply_q arms above and the routing test)
     ft = tileqr.tsqr(
-        rng.standard_normal((1024, 48)).astype(np.float32), mode="factor", config=CFG
+        rng.standard_normal((1024, 48)).astype(np.float32), mode="factor",
+        config=CFG, strategy="tree",
     )
     from tileqr.drivers.tsqr import tsqr_apply_q
 
@@ -383,13 +463,13 @@ def test_qr_precision_b3(rng):
     between "default" (~1e-2) and "highest" (~1e-7) — the 2-way bf16 split
     carries ~16 mantissa bits, measured ~1e-5 at 8192² on TPU
     (BASELINE.md r3). Both drivers accept the mode."""
-    a = rng.standard_normal((192, 192)).astype(np.float32)
+    a = rng.standard_normal((128, 128)).astype(np.float32)
     for driver in ("static", "dynamic"):
         q, r = tileqr.qr(a, config=QRConfig(nb=64, precision="b3", driver=driver))
         q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
         rel = np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a)
         assert 1e-8 < rel < 1e-4, rel
-        assert np.linalg.norm(q64.T @ q64 - np.eye(192)) < 1e-2
+        assert np.linalg.norm(q64.T @ q64 - np.eye(128)) < 1e-2
 
 
 def test_qr_bfloat16(rng):

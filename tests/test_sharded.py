@@ -122,6 +122,34 @@ def test_static_sharded_device_native_jit_composable(rng):
     r = assemble_r_sharded(f)
     qta = apply_q_sharded(f, a, mesh=mesh, trans=True, config=cfg)
     assert isinstance(r, jax.Array) and isinstance(qta, jax.Array)
+    # eager outputs are themselves consistent (QᵀA = [R; 0])
+    rel = np.linalg.norm(np.asarray(qta, np.float64) - np.asarray(r, np.float64))
+    assert rel / np.linalg.norm(a) < 2e-6
+
+    @jax.jit
+    def go(a):
+        f = qr_sharded_factor(a, mesh=mesh, config=cfg)
+        return assemble_r_sharded(f, mesh), apply_q_sharded(
+            f, a, mesh=mesh, trans=True, config=cfg
+        )
+
+    # fast tier validates the pipeline COMPOSES under one jit (traces +
+    # lowers — any host device_get in the path would fail tracing); the
+    # executed-value equality vs eager is the slow twin (XLA backend
+    # compile of the fused program was ~half this test's 30 s)
+    go.lower(a)
+
+
+@needs_8
+@pytest.mark.slow
+def test_static_sharded_jit_composed_values(rng):
+    """Slow twin: the jit-composed factor→assemble→apply pipeline EXECUTES
+    and matches the eager path to a few ulp."""
+    mesh = jax.make_mesh((2, 2), ("rows", "cols"))
+    cfg = QRConfig(nb=8, ib=8, mesh_shape=(2, 2))
+    a = rng.standard_normal((24, 16)).astype(np.float32)
+    f = qr_sharded_factor(a, mesh=mesh, config=cfg)
+    r = assemble_r_sharded(f)
 
     @jax.jit
     def go(a):
@@ -131,8 +159,6 @@ def test_static_sharded_device_native_jit_composable(rng):
         )
 
     r2, qta2 = go(a)
-    # jit-composed vs eager: same ops, XLA may fuse differently — gate at
-    # a few ulp, plus the residual identity on the composed outputs
     assert np.abs(np.asarray(r) - np.asarray(r2)).max() <= 5e-6 * np.abs(
         np.asarray(r)
     ).max()

@@ -191,23 +191,112 @@ def test_hr_b3_protected_split(rng):
         assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-3
 
 
+def test_hr_b4_precision_class(rng):
+    """precision="b4" (the r5 precision-ladder point between b3 and
+    HIGHEST): a 4th emulation pass (lo·lo) removes b3's dropped-term error
+    but NOT the 2-way split's ~2⁻¹⁷ representation residual, so b4 lands
+    ~2× better than b3 and still outside the 1e-6 gate (measured
+    full-width 3.05e-06 vs 7.08e-06 at 16384², BASELINE.md r5 ladder).
+    This pins the routing/plumbing on both driver routes; like the b3
+    twin above, CPU DEFAULT-precision passes run in fp32, so the on-chip
+    error class is BASELINE.md's claim, not this test's."""
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    for driver in ("static", "dynamic"):
+        cfg = CFG.replace(precision="b4", driver=driver)
+        q, r = tileqr.qr(a, config=cfg)
+        assert relerr(np.asarray(q, np.float64) @ np.asarray(r, np.float64), a) < 1e-4
+        q64 = np.asarray(q, np.float64)
+        assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 1e-3
+
+
 def test_hr_chunked_bitwise_matches_static(rng):
-    """The bounded-compile segmented driver (qr_hr_chunked) is the SAME
-    algorithm cut at jit boundaries: R and every (Y, T) panel must be
-    bitwise-equal to the trace-unrolled qr_hr (the equivalence the api
-    driver policy relies on when routing large panel counts through it)."""
+    """The bounded-compile segmented driver (qr_hr_chunked) with the XLA
+    apply form (use_kernel=False) is the SAME algorithm cut at jit
+    boundaries: R and every (Y, T) panel must be bitwise-equal to the
+    trace-unrolled qr_hr. (Since r5 the chunked default routes "highest"
+    through the in-place Pallas kernel — block-accumulated, so
+    ROUNDING-level equal, pinned by the next test — hence the explicit
+    use_kernel=False here.)"""
     from tileqr.drivers.square_hr import qr_hr_chunked
 
     a = rng.standard_normal((192, 160)).astype(np.float32)
     ap1, _ = pad_for_hr(jnp.asarray(a), 32)
     r1, p1 = qr_hr(ap1, 32, interpret=True)
     ap2, _ = pad_for_hr(jnp.asarray(a), 32)  # fresh buffer: chunked donates
-    r2, p2 = qr_hr_chunked(ap2, 32, interpret=True, seg_panels=2)
+    r2, p2 = qr_hr_chunked(ap2, 32, interpret=True, seg_panels=2,
+                           use_kernel=False)
     assert (np.asarray(r1) == np.asarray(r2)).all()
     assert len(p1) == len(p2)
     for (y1, t1), (y2, t2) in zip(p1, p2):
         assert (np.asarray(y1) == np.asarray(y2)).all()
         assert (np.asarray(t1) == np.asarray(t2)).all()
+
+
+def test_hr_chunked_kernel_highest_matches_static(rng):
+    """The r5 default chunked route for precision="highest" (in-place
+    Pallas whole-panel apply, VERDICT r4 missing-#1): same algebra with
+    Kahan-compensated blocked W accumulation, so R/panels agree with the
+    trace-unrolled XLA driver to fp32 rounding (not bitwise), the
+    factorization passes the residual gate, and two runs are bitwise-equal
+    to each other (determinism contract of the kernel path)."""
+    from tileqr.drivers.square_hr import qr_hr_chunked
+
+    a = rng.standard_normal((192, 160)).astype(np.float32)
+    ap1, _ = pad_for_hr(jnp.asarray(a), 32)
+    r1, _ = qr_hr(ap1, 32, interpret=True)
+    ap2, _ = pad_for_hr(jnp.asarray(a), 32)
+    r2, p2 = qr_hr_chunked(ap2, 32, interpret=True, seg_panels=2)  # default
+    assert np.abs(np.asarray(r2) - np.asarray(r1)).max() < 1e-4
+    ap3, _ = pad_for_hr(jnp.asarray(a), 32)
+    r3, p3 = qr_hr_chunked(ap3, 32, interpret=True, seg_panels=2)
+    assert (np.asarray(r2) == np.asarray(r3)).all()
+    for (y2, t2), (y3, t3) in zip(p2, p3):
+        assert (np.asarray(y2) == np.asarray(y3)).all()
+        assert (np.asarray(t2) == np.asarray(t3)).all()
+    # residual gate through the factors (HIGHEST apply)
+    from tileqr.drivers.square_hr import apply_q_hr
+
+    qta = np.asarray(
+        apply_q_hr(p2, jnp.asarray(np.pad(a, ((0, 0), (0, 0)))), 32,
+                   trans=True, interpret=True),
+        np.float64,
+    )
+    r64 = np.asarray(r2, np.float64)[:, :160]
+    assert np.linalg.norm(qta[:160] - r64[:160]) / np.linalg.norm(a) < 3e-6
+    assert np.linalg.norm(qta[160:]) / np.linalg.norm(a) < 3e-6
+
+
+def test_panel_apply_carry_highest_multiblock(rng):
+    """panel_apply_carry at precision="highest" with ≥2 row/col blocks
+    (m = 576 > the 512 block target → mr = 288): the in-kernel HIGHEST
+    apply (the r5 chunked-hr default) must match the f64 reference apply
+    to fp32 accuracy through the blocked Kahan accumulation, leave the
+    rows/cols outside the window untouched, and be deterministic."""
+    from tileqr.drivers.square_hr import hr_panel
+    from tileqr.kernels.panel_apply import panel_apply_carry
+
+    nb, m = 32, 576
+    carry = rng.standard_normal((m + nb, m + nb)).astype(np.float32)
+    p = jnp.asarray(carry[nb:, nb : 2 * nb])
+    y, t, _ = hr_panel(p, interpret=True)
+    out = np.asarray(
+        panel_apply_carry(y, t, jnp.asarray(carry), k=1, nb=nb, trans=True,
+                          precision="highest", interpret=True)
+    )
+    assert (out[:nb] == carry[:nb]).all()  # rows above the window untouched
+    assert (out[:, : 2 * nb] == carry[:, : 2 * nb]).all()  # left of window
+    y64, t64 = np.asarray(y, np.float64), np.asarray(t, np.float64)
+    win = carry[nb:, 2 * nb :].astype(np.float64)
+    ref = win - y64 @ (t64.T @ (y64.T @ win))
+    got = out[nb:, 2 * nb :].astype(np.float64)
+    # 576-term fp32 contractions: |W| ~ √m, rounding ~ √m·eps ≈ 1.4e-6
+    # absolute — the 1.1e-6 measured max is legitimate fp32 class
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-6
+    out2 = np.asarray(
+        panel_apply_carry(y, t, jnp.asarray(carry), k=1, nb=nb, trans=True,
+                          precision="highest", interpret=True)
+    )
+    assert (out == out2).all()
 
 
 def test_hr_api_routes_large_panel_counts_to_chunked(rng, monkeypatch):
@@ -395,7 +484,7 @@ def test_hr_guard_fallback(rng):
     """Default hr_guard='fallback': breakdown input warns and refactors via
     the unconditionally stable Householder path — the result is
     acceptance-grade where raw hr would be garbage."""
-    b = _near_singular(rng)
+    b = _near_singular(rng, m=96, n=64)  # panel-0 breakdown at 2 panels
     with pytest.warns(UserWarning, match="hr guard"):
         f = tileqr.qr_factor(b, QRConfig(nb=32, square_method="hr"))
     assert type(f).__name__ == "QRFactors"  # hh factors, not HRFactors

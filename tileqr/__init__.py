@@ -34,7 +34,7 @@ from tileqr.api import (
     tsqr,
 )
 from tileqr.drivers.sharded import qr_sharded
-from tileqr.utils.verify import qr_check, relerr_streamed
+from tileqr.utils.verify import orth_streamed, qr_check, relerr_streamed
 
 __version__ = "0.1.0"
 
@@ -47,6 +47,7 @@ __all__ = [
     "qr",
     "qr_batched",
     "qr_factor",
+    "orth_streamed",
     "qr_check",
     "qr_sharded",
     "relerr_streamed",

@@ -328,15 +328,29 @@ def tsqr(
         HRFactors via modified-LU Householder reconstruction
         (square_hr.hr_panel with nb = panel width) — apply with
         tileqr.apply_q / form Q with tileqr.orgqr.
-      "auto": chain on compiled TPU (115.1 ms vs the tree's 230.5 ms at
-        1048576×512, BASELINE.md — the chain's single carried-R pipeline
-        still wins on one chip; the tree is the cross-chip reduction and
-        the mode="factor"/apply path), tree in interpret mode (keeps the
-        tree covered by the CPU suite).
+      "auto": mode="factor" routes to cholqr2-reconstruction — the measured
+        3.07× factor+apply path (108.4 vs the tree's 332.4 ms at
+        1048576×512, BASELINE.md r4) — with the breakdown guard falling
+        back to tree TSQRFactors (warning) under the default
+        hr_guard="fallback". Other modes: chain on compiled TPU (115.1 ms
+        vs the tree's 230.5 ms at 1048576×512, BASELINE.md — the chain's
+        single carried-R pipeline still wins on one chip; the tree is the
+        cross-chip reduction), tree in interpret mode (keeps the tree
+        covered by the CPU suite).
     """
     cfg = _cfg(config)
     if strategy not in ("auto", "tree", "chain", "cholqr2"):
         raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain/cholqr2)")
+    if strategy == "auto" and mode == "factor":
+        # measured routing decision (VERDICT r4 weak-#5 / next-#4): the
+        # cholqr2-reconstruction factor path is 3.07× the tree on the full
+        # factor+apply at config 3 (108.4 vs 332.4 ms, BASELINE.md r4) and
+        # gate-grade accurate; its breakdown guard falls back to tree
+        # TSQRFactors (with a warning) under the default
+        # hr_guard="fallback", so the stable path still backstops. Before
+        # r5 auto+factor silently ran the TREE body after resolving to
+        # "chain" — the executed path now matches the resolved name.
+        return tsqr(a, mode="factor", config=cfg, strategy="cholqr2")
     if strategy == "cholqr2":
         from tileqr.drivers.cholqr import cholqr2_batched
 

@@ -180,6 +180,12 @@ def bench_square(n, nb, ib, precision, chain, check, chunk=4,
         # is donation-safe
         rec["relerr"] = relerr_streamed(
             apply_qt, a, r, col_block=min(n, 2048))
+        # the verification apply always runs HIGHEST (same convention as
+        # scripts/r4_contract_requal.py): for emulated timed rows (b3/b4)
+        # relerr measures the FACTOR's backward error through an accurate
+        # apply, not the emulated apply path itself — recorded explicitly
+        # so rows aren't misread (ADVICE r4 #3)
+        rec["check_precision"] = "highest"
     return rec
 
 
@@ -241,7 +247,13 @@ def bench_tsqr(m, cols, nb, chain, strategy="tree", check=False,
 
     t = per_iter(make, a, chain)
     rec = {
-        "bench": "tsqr", "strategy": strategy, "m": m, "n": cols, "nb": nb,
+        # nb_cfg (NOT "nb"): since the r4 route through the public tsqr
+        # API, QRConfig(nb=max(nb, cols)) only bounds the panel width — the
+        # tree strategy's leaf sizing is auto_leaf_rows, no longer the
+        # --nbs sweep value. Renamed so pre-r4 sweep records (where "nb"
+        # WAS the leaf size) aren't conflated with new ones (ADVICE r4 #2).
+        "bench": "tsqr", "strategy": strategy, "m": m, "n": cols,
+        "nb_cfg": max(nb, cols),
         "precision": precision, "ms": round(t * 1e3, 6),
         "tflops": round(qr_flops(m, cols) / t / 1e12, 9),
         "backend": jax.default_backend(),

@@ -253,7 +253,9 @@ def assemble_r_sharded(f, mesh: Optional[Mesh] = None):
 
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        from tileqr.drivers.sharded_dyn import mesh_from_factors
+
+        mesh = mesh_from_factors(f.local, pr, pc)
     return _assemble_r_dyn_jit(f.local, f.r_diag, f.nb, f.grid, f.shape, mesh)
 
 
@@ -274,7 +276,9 @@ def apply_q_sharded(
     nb = f.nb
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        from tileqr.drivers.sharded_dyn import mesh_from_factors
+
+        mesh = mesh_from_factors(f.local, pr, pc)
     interpret = resolve_interpret(cfg.interpret)
     prec_name = cfg.precision
     prec = resolve_precision(prec_name)

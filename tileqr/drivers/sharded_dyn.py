@@ -453,12 +453,34 @@ def _assemble_r_dyn_jit(local, r_diag, nb: int, grid, shape, mesh):
     return rt.reshape(mt * nb, nt * nb)[:m, :n]
 
 
+def mesh_from_factors(local, pr: int, pc: int) -> Mesh:
+    """The mesh to run a factor-consuming shard_map on when the caller
+    passed none: recovered from the factors' OWN sharding when possible
+    (ADVICE r4 #4 — rebuilding with jax.make_mesh's default device order
+    silently reshards factors produced on a caller mesh with a permuted
+    device order: correct values, but a full cross-device transfer at
+    contract scale). Falls back to a fresh default mesh for unsharded
+    arrays (single-device / interpret runs) or mismatched geometry."""
+    sh = getattr(local, "sharding", None)
+    m = getattr(sh, "mesh", None)
+    if m is not None and hasattr(m, "devices"):  # AbstractMesh has none
+        try:
+            if (
+                tuple(m.axis_names) == ("rows", "cols")
+                and tuple(m.devices.shape) == (pr, pc)
+            ):
+                return m
+        except (AttributeError, TypeError):
+            pass
+    return jax.make_mesh((pr, pc), ("rows", "cols"))
+
+
 def assemble_r_sharded_dyn(f: ShardedDynFactors, mesh: Optional[Mesh] = None):
     """R (M, N) as a DEVICE array computed under jit — no host gather in the
     path (VERDICT r2 next-#5)."""
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        mesh = mesh_from_factors(f.local, pr, pc)
     return _assemble_r_dyn_jit(f.local, f.r_diag, f.nb, f.grid, f.shape, mesh)
 
 
@@ -476,7 +498,7 @@ def apply_q_sharded_dyn(
     nb, c = f.nb, f.chunk
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        mesh = mesh_from_factors(f.local, pr, pc)
     interpret = resolve_interpret(cfg.interpret)
     prec = resolve_precision(cfg.precision)
     k_max = min(mt, nt)

@@ -196,23 +196,23 @@ def _apply_panel_dist(y, t, c, prec, trans: bool, interpret: bool = False):
     already a device-level tree and needs no help."""
     from tileqr.drivers.cholqr import bdot_pair_rows
     from tileqr.drivers.square_hr import _W_PAIR_MAX_COLS, _w_splitk
-    from tileqr.kernels.common import B3
+    from tileqr.kernels.common import _EMULATED as _EMU
 
     dt = c.dtype
     nb = y.shape[1]
     if (
-        prec == B3 and dt == jnp.float32
+        prec in _EMU and dt == jnp.float32
         and y.shape[0] % nb == 0 and c.shape[1] % nb == 0 and c.shape[1]
     ):
         from tileqr.kernels.panel_apply import panel_project, panel_sub
 
-        w = jax.lax.psum(panel_project(y, c, "b3", interpret), "rows")
+        w = jax.lax.psum(panel_project(y, c, prec, interpret), "rows")
         tm = jnp.transpose(t) if trans else t
         w = _dot(tm, w, _HI, dt)
-        return panel_sub(y, w, c, "b3", interpret)
-    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
+        return panel_sub(y, w, c, prec, interpret)
+    if prec not in _EMU and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
         w_loc = bdot_pair_rows(y[None], c[None], prec, dt)[0]
-    elif prec != B3 and dt == jnp.float32 and y.shape[0] >= 4096:
+    elif prec not in _EMU and dt == jnp.float32 and y.shape[0] >= 4096:
         w_loc = _w_splitk(y, c, prec, dt)
     else:
         w_loc = _dot(jnp.transpose(y), c, prec, dt)
@@ -367,7 +367,9 @@ def assemble_r_sharded_hr(f: ShardedHRFactors, mesh: Optional[Mesh] = None):
     local matrices + the replicated diagonal tiles)."""
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        from tileqr.drivers.sharded_dyn import mesh_from_factors
+
+        mesh = mesh_from_factors(f.local, pr, pc)
     return _assemble_r_dyn_jit(f.local, f.r_diag, f.nb, f.grid, f.shape, mesh)
 
 
@@ -387,7 +389,9 @@ def apply_q_sharded_hr(
     interpret = resolve_interpret(cfg.interpret)
     mt, nt, pr, pc = f.grid
     if mesh is None:
-        mesh = jax.make_mesh((pr, pc), ("rows", "cols"))
+        from tileqr.drivers.sharded_dyn import mesh_from_factors
+
+        mesh = mesh_from_factors(f.local, pr, pc)
     prec = resolve_precision(cfg.precision)
     lmt = mt // pr
 

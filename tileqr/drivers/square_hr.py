@@ -86,14 +86,16 @@ def _w_splitk(y, c, prec, dt, s: int = None):
 
 
 def _dot(a, b, prec, dt):
-    from tileqr.kernels.common import B3, dot_b3_xla
+    from tileqr.kernels.common import _EMULATED, dot_b3_xla
 
-    if prec == B3 and dt == jnp.float32:
+    if prec in _EMULATED and dt == jnp.float32:
         # barrier-protected split — the naive XLA-level emulation folds to
         # ONE bf16 pass under --xla_allow_excess_precision
         # (kernels/common.py _split_bf16_xla)
-        return dot_b3_xla(a, b, (((1,), (0,)), ((), ()))).astype(dt)
-    if prec == B3:
+        return dot_b3_xla(
+            a, b, (((1,), (0,)), ((), ())), _EMULATED[prec]
+        ).astype(dt)
+    if prec in _EMULATED:
         prec = jax.lax.Precision.HIGHEST
     return jnp.dot(a, b, precision=prec, preferred_element_type=acc_type(dt)).astype(dt)
 
@@ -225,18 +227,18 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
     targets, reduced-ncols orgqr windows) fall back to the mask-protected
     XLA emulation (kernels/common.dot_b3_xla): correct b3 accuracy, no
     speed claim."""
-    from tileqr.kernels.common import B3
+    from tileqr.kernels.common import _EMULATED as _EMU
 
-    if prec == B3 and dt == jnp.float32:
+    if prec in _EMU and dt == jnp.float32:
         m, nb = y.shape
         n = c.shape[1]
         if n and m % nb == 0 and n % nb == 0:
             from tileqr.kernels.panel_apply import panel_apply
 
             return panel_apply(
-                y, t, c, trans=trans, precision="b3", interpret=interpret
+                y, t, c, trans=trans, precision=prec, interpret=interpret
             )
-    if prec != B3 and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
+    if prec not in _EMU and y.shape[0] >= 2048 and c.shape[1] <= _W_PAIR_MAX_COLS:
         # narrow tall targets (lstsq/Qᵀb, orgqr windows, vector applies):
         # pairwise block accumulation of W = YᵀC kills the √m term of the
         # apply chain's error (BASELINE.md r3 pairwise probe V4) for a few
@@ -246,7 +248,7 @@ def _apply_block_t(y, t, c, prec, dt, trans: bool, interpret: bool = False):
         from tileqr.drivers.cholqr import bdot_pair_rows
 
         w = bdot_pair_rows(y[None], c[None], prec, dt)[0]
-    elif prec != B3 and dt == jnp.float32 and y.shape[0] >= 4096:
+    elif prec not in _EMU and dt == jnp.float32 and y.shape[0] >= 4096:
         # wide trailing updates / wide applies: split-K projection (see
         # _w_splitk) — the V2/V4 accumulation fix at fused-dot speed
         w = _w_splitk(y, c, prec, dt)
@@ -476,11 +478,17 @@ def qr_hr_chunked(
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
     if use_kernel is None:
-        # the Pallas in-place apply is what makes b3 actually FAST (the
-        # XLA-level emulation loses to highest on this shape, BASELINE.md
-        # r3); for "highest" the XLA dots are already at the path's ceiling
-        # AND bitwise-equal to the static driver, so they stay the default
-        use_kernel = precision == "b3" and ap.dtype == jnp.float32
+        # the Pallas in-place apply is what makes the emulated modes
+        # (b3/b4) actually FAST (the XLA-level emulation loses to highest
+        # on this shape, BASELINE.md r3) — and since r5 it is the default
+        # for "highest" too: the aliased in-place kernel carries no barrier
+        # temps (the XLA form's extra HBM traffic cost 1.62× at 16384² and
+        # OOMed the 32768² warm run, VERDICT r4 missing-#1/weak-#1; the
+        # kernel A/B is in BASELINE.md r5). fp32 only — f64 (CPU/interpret
+        # oracles) has no Mosaic lowering and stays on the XLA dots.
+        use_kernel = (
+            precision in ("b3", "b4", "highest") and ap.dtype == jnp.float32
+        )
     k_max = min(mp, npad) // nb
     carry = ap
     panels = []
@@ -502,36 +510,56 @@ def qr_hr_chunked(
         if rstack is not None:
             rstacks.append(rstack)
         k0 += kseg
+    # Donation pays only when R has the carry's shape (square input after
+    # padding): XLA reuses the carry's buffer for R, halving the warm-run
+    # HBM residue at 32768² (r4 requal OOM). For rectangular inputs the
+    # output shape differs, the alias is impossible, and routing through a
+    # donated jit just emits a 'donated buffers were not usable'
+    # UserWarning on every call (ADVICE r4 #1) — take the undonated twin.
+    square = k_max * nb == mp
     if rstacks:
         # kernel path: the diagonal R blocks were stashed per segment (a
         # per-panel dynamic_update_slice into the carry would make XLA copy
         # the whole carry to satisfy the next pallas call's must-alias) —
-        # merge them into the final R under one donated jit
-        r = _finish_r_kernel(carry, jnp.concatenate(rstacks), nb, k_max)
+        # merge them into the final R under one jit
+        fin = _finish_r_kernel if square else _finish_r_kernel_nodonate
+        r = fin(carry, jnp.concatenate(rstacks), nb, k_max)
     else:
-        # donated: at 32768² the eager triu would hold carry + R (two 4 GiB
-        # buffers) at the factorization tail — with donation XLA reuses the
-        # carry's buffer for R (exact alias when the matrix is square), and
-        # the warm-run HBM residue at contract scale halves (r4 requal OOM)
-        r = _finish_r_plain(carry, k_max * nb)
+        r = (_finish_r_plain if square else _finish_r_plain_nodonate)(
+            carry, k_max * nb
+        )
     if stats:
         return r, tuple(panels), health
     return r, tuple(panels)
 
 
-@functools.partial(jax.jit, static_argnames=("k_rows",), donate_argnums=(0,))
-def _finish_r_plain(carry, k_rows: int):
+def _finish_r_plain_impl(carry, k_rows: int):
     return jnp.triu(carry[:k_rows])
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "k_max"), donate_argnums=(0,))
-def _finish_r_kernel(carry, rstack, nb, k_max):
+_finish_r_plain = jax.jit(
+    _finish_r_plain_impl, static_argnames=("k_rows",), donate_argnums=(0,)
+)
+_finish_r_plain_nodonate = jax.jit(
+    _finish_r_plain_impl, static_argnames=("k_rows",)
+)
+
+
+def _finish_r_kernel_impl(carry, rstack, nb, k_max):
     r = jnp.triu(carry[: k_max * nb])
 
     def body(k, r):
         return jax.lax.dynamic_update_slice(r, rstack[k], (k * nb, k * nb))
 
     return jax.lax.fori_loop(0, k_max, body, r)
+
+
+_finish_r_kernel = jax.jit(
+    _finish_r_kernel_impl, static_argnames=("nb", "k_max"), donate_argnums=(0,)
+)
+_finish_r_kernel_nodonate = jax.jit(
+    _finish_r_kernel_impl, static_argnames=("nb", "k_max")
+)
 
 
 @functools.partial(

@@ -18,11 +18,23 @@ _PRECISIONS = {
 # recognize); it only changes the UPDATE kernels — the panel kernels
 # (geqrt.py) pin their own internal precision to HIGHEST.
 B3 = "b3"
+# bf16x4: the same 2-way split with the lo·lo term kept — the exact product
+# of the 16-bit split representations. One more native bf16 MXU pass than
+# b3 (4/3 of its flops) removes the DROPPED-TERM error, but the split's own
+# representation residual (~2⁻¹⁷ relative per operand) remains, so the
+# accuracy class only moves ~2× (measured: full-width QR relerr 3.05e-06 vs
+# b3's 7.08e-06 at 16384², BASELINE.md r5 precision ladder). Any 2-way
+# split is capped there; fp32-class needs the 3-way split's 6 passes =
+# exactly what Precision.HIGHEST already lowers to on the MXU — so the
+# ladder has no ≤1e-6 point cheaper than HIGHEST.
+B4 = "b4"
+# dropped-pass count per emulated mode (2-way hi/lo split passes kept)
+_EMULATED = {B3: 3, B4: 4}
 
 
 def resolve_precision(name: str):
-    if name == B3:
-        return B3
+    if name in _EMULATED:
+        return name
     return _PRECISIONS[name]
 
 
@@ -61,10 +73,10 @@ def _split_bf16_xla(a):
     return hi32.astype(jnp.bfloat16), (a - hi32).astype(jnp.bfloat16)
 
 
-def dot_b3_xla(a, b, dims):
-    """XLA-level (non-Pallas) 3-pass bf16 fp32 emulation — the barrier-
-    protected twin of _dot_b3, for drivers whose update matmuls are plain
-    XLA ops (the hr family)."""
+def dot_b3_xla(a, b, dims, passes: int = 3):
+    """XLA-level (non-Pallas) 3/4-pass bf16 fp32 emulation — the barrier-
+    protected twin of _dot_bx, for drivers whose update matmuls are plain
+    XLA ops (the hr family). passes=4 adds the lo·lo term (B4)."""
     def d(x, y):
         return jax.lax.dot_general(
             x, y, dimension_numbers=dims,
@@ -74,15 +86,20 @@ def dot_b3_xla(a, b, dims):
 
     ah, al = _split_bf16_xla(a)
     bh, bl = _split_bf16_xla(b)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    out = d(ah, bh) + (d(ah, bl) + d(al, bh))
+    if passes >= 4:
+        out = out + d(al, bl)
+    return out
 
 
-def _dot_b3(a, b, dims):
-    """3-pass bf16 emulation of an fp32 contraction: AB ≈ Ah·Bh + Ah·Bl +
-    Al·Bh, each a native-speed bf16 MXU pass accumulated in fp32. The
-    dropped Al·Bl term is ~2⁻¹⁶ relative — the same order as the split's
-    own representation error, so the result carries ~16 mantissa bits
-    (measured: QR relerr ~1e-5 vs HIGHEST's ~3e-7, BASELINE.md r3).
+def _dot_bx(a, b, dims, passes: int = 3):
+    """3/4-pass bf16 emulation of an fp32 contraction: AB ≈ Ah·Bh + Ah·Bl +
+    Al·Bh (+ Al·Bl for passes=4), each a native-speed bf16 MXU pass
+    accumulated in fp32. At 3 passes the dropped Al·Bl term is ~2⁻¹⁶
+    relative — the same order as the split's own representation error, so
+    the result carries ~16 mantissa bits (measured: QR relerr ~1e-5 vs
+    HIGHEST's ~3e-7, BASELINE.md r3). The 4th pass removes the dropped
+    term but not the representation residual (see B4 note above).
     IN-KERNEL USE ONLY — at the XLA level use dot_b3_xla (excess-precision
     folding, see _split_bf16_xla)."""
     def d(x, y):
@@ -94,7 +111,15 @@ def _dot_b3(a, b, dims):
 
     ah, al = _split_bf16(a)
     bh, bl = _split_bf16(b)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    out = d(ah, bh) + (d(ah, bl) + d(al, bh))
+    if passes >= 4:
+        out = out + d(al, bl)
+    return out
+
+
+def _dot_b3(a, b, dims):
+    """Back-compat alias (r3 measurement scripts): 3-pass in-kernel form."""
+    return _dot_bx(a, b, dims, 3)
 
 
 def resolve_interpret(interpret) -> bool:
@@ -116,9 +141,11 @@ def acc_type(dt):
 
 def dot(a, b, precision):
     """MXU matmul with dtype-matched accumulation."""
-    if precision == B3 and a.dtype == jnp.float32:
-        return _dot_b3(a, b, (((1,), (0,)), ((), ()))).astype(a.dtype)
-    if precision == B3:
+    if precision in _EMULATED and a.dtype == jnp.float32:
+        return _dot_bx(
+            a, b, (((1,), (0,)), ((), ())), _EMULATED[precision]
+        ).astype(a.dtype)
+    if precision in _EMULATED:
         precision = jax.lax.Precision.HIGHEST
     return jnp.dot(
         a, b, precision=precision, preferred_element_type=acc_type(a.dtype)
@@ -127,9 +154,11 @@ def dot(a, b, precision):
 
 def dot_t(a, b, precision):
     """aᵀ @ b without materializing the transpose (MXU-native contraction)."""
-    if precision == B3 and a.dtype == jnp.float32:
-        return _dot_b3(a, b, (((0,), (0,)), ((), ()))).astype(a.dtype)
-    if precision == B3:
+    if precision in _EMULATED and a.dtype == jnp.float32:
+        return _dot_bx(
+            a, b, (((0,), (0,)), ((), ())), _EMULATED[precision]
+        ).astype(a.dtype)
+    if precision in _EMULATED:
         precision = jax.lax.Precision.HIGHEST
     out = jax.lax.dot_general(
         a,
