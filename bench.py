@@ -96,8 +96,10 @@ def main():
     # Contract-size capability (TILEQR_BENCH_N=32768, VERDICT r3 next-#1):
     # the trace-unrolled static hr driver cannot compile at 128 panels (XLA
     # buffer assignment OOM, BASELINE.md r3), so beyond 64 panels the hr
-    # method routes through the bounded-compile chunked driver, timed by
-    # direct differencing of whole runs — at ≥2 s of device work per run the
+    # method routes through the bounded-compile chunked driver (since r5:
+    # the in-kernel aliased HIGHEST whole-panel apply — no barrier temps,
+    # which is what lets the warm run fit at this size), timed by direct
+    # differencing of whole runs — at ≥2 s of device work per run the
     # ~30 ms tunnel sync floor is <2%, so chaining inside one executable is
     # no longer needed for meaningful numbers.
     if METHOD == "hr" and N // NB > 64:

@@ -19,9 +19,10 @@ from tileqr.bench.run import bench_batched, bench_jnp_qr, bench_square, bench_ts
 def test_bench_square_check(method, driver):
     """Every shipping square path is one harness call (VERDICT r3 weak-#2),
     each with the full-width streamed relerr."""
-    # 96×96 at nb=64: 2 panels + ragged padding — the minimal geometry
-    # that still exercises every driver's panel loop (r5 fast-suite budget)
-    rec = bench_square(96, 64, 32, "highest", chain=2, check=True,
+    # 128×128 at nb=64: 2 panels — the minimal geometry that exercises
+    # every driver's panel loop (all drivers require n % nb == 0: the tile
+    # reshape is (n//nb, nb, ...), so no smaller ragged shrink is possible)
+    rec = bench_square(128, 64, 32, "highest", chain=2, check=True,
                        method=method, driver=driver)
     assert rec["bench"] == "qr_square"
     assert rec["method"] == method and rec["driver"] == driver

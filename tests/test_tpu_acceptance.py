@@ -187,3 +187,46 @@ def test_precision_b3_on_tpu(rng):
     r64 = np.asarray(r, np.float64)
     rel = np.linalg.norm(q64 @ r64 - a) / np.linalg.norm(a)
     assert 1e-7 < rel < 1e-4, rel
+
+
+def test_hr_chunked_kernel_highest_on_tpu(rng):
+    """The r5 chunked-hr default (in-kernel HIGHEST whole-panel apply,
+    kernels/panel_apply.panel_apply_carry) compiled through Mosaic:
+    1024² at nb=256 gives 2 row blocks per window (mr=512), so the blocked
+    Kahan accumulation and the aliased Element-window writes are real.
+    Gates: HIGHEST-class residual through the apply path, bitwise
+    determinism across runs."""
+    import jax.numpy as jnp
+
+    from tileqr.drivers.square_hr import apply_q_hr_chunked, qr_hr_chunked
+
+    a = rng.standard_normal((1024, 1024)).astype(np.float32)
+    r1, p1 = qr_hr_chunked(jnp.asarray(a), 256, precision="highest",
+                           seg_panels=2)
+    r2, _ = qr_hr_chunked(jnp.asarray(a), 256, precision="highest",
+                          seg_panels=2)
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    qta = np.asarray(
+        apply_q_hr_chunked(p1, jnp.asarray(a), 256, trans=True,
+                           precision="highest"),
+        np.float64,
+    )
+    rel = np.linalg.norm(qta - np.triu(np.asarray(r1, np.float64))) / np.linalg.norm(a)
+    assert rel < 1e-6, rel
+
+
+def test_precision_b4_on_tpu(rng):
+    """precision="b4" compiled through Mosaic: the 4th (lo·lo) pass keeps
+    the split's representation floor — backward error lands in the same
+    decade as b3 (~5e-6 vs 7e-6 full-width at size, BASELINE.md r5),
+    strictly between DEFAULT and HIGHEST."""
+    import tileqr
+    from tileqr import QRConfig
+
+    a = rng.standard_normal((1024, 1024)).astype(np.float32)
+    q, r = tileqr.qr(
+        a, config=QRConfig(nb=256, square_method="hr", precision="b4")
+    )
+    q64 = np.asarray(q, np.float64)
+    rel = np.linalg.norm(q64 @ np.asarray(r, np.float64) - a) / np.linalg.norm(a)
+    assert 1e-7 < rel < 1e-4, rel

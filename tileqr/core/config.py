@@ -29,16 +29,21 @@ class QRConfig:
         in-loop rank-1 width, so fewer/wider blocks win (measured 7.79 ms vs
         9.46 ms at 4096², ib=128 vs 64).
       dtype: compute dtype (fp32 is the acceptance dtype).
-      precision: matmul precision used *inside* kernels. "highest" (bf16x6
-        passes on v5e MXU) keeps fp32-accurate trailing updates — the
-        acceptance default (relerr ~3e-7 at 8192²). "b3" is the manual
-        bf16x3 fp32 emulation (kernels/common.py: hi/lo split, 3 native
-        bf16 MXU passes — Mosaic does not lower Precision.HIGH in-kernel):
-        measured 1.33× end-to-end at 8192² (35.4 vs 47.1 ms) at relerr
-        ~1e-5 — a 2-way bf16 split carries ~16 mantissa bits, so this mode
-        does NOT meet the ≤1e-6 acceptance gate (BASELINE.md r3); the
-        panel kernels keep their internal HIGHEST either way. "default"
-        (single bf16 pass, relerr ~1e-2) is for experiments only.
+      precision: matmul precision used *inside* kernels. "highest" (the
+        MXU's fp32 mode, ~1/6 of bf16 peak) keeps fp32-accurate trailing
+        updates — the acceptance default (full-width relerr ~3e-7 at
+        16384²). "b3" is the manual bf16x3 fp32 emulation
+        (kernels/common.py: hi/lo split, 3 native bf16 MXU passes — Mosaic
+        does not lower Precision.HIGH in-kernel): measured 28.4 TFLOP/s at
+        16384² (1.28× over highest) at full-width relerr ~7e-6. "b4" adds
+        the lo·lo 4th pass: 26.2 TFLOP/s at ~5.9e-6 — the measured r5
+        ladder point proving any 2-way bf16 split is capped by its ~2⁻¹⁷
+        representation residual, so neither emulated mode meets the ≤1e-6
+        acceptance gate (BASELINE.md r5 precision ladder; the 6-pass
+        3-way split that would is exactly what "highest" already lowers
+        to, at the hardware fp32 rate). The panel kernels keep their
+        internal HIGHEST in every mode. "default" (single bf16 pass,
+        relerr ~1e-2) is for experiments only.
       interpret: run Pallas kernels in interpreter mode. ``None`` means
         auto: interpret on non-TPU backends (so the whole test suite runs
         on CPU), compiled Mosaic on TPU.
