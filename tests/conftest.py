@@ -34,8 +34,10 @@ if not os.environ.get("TILEQR_TEST_TPU"):
     # dominated by XLA CPU compiles of the trace-unrolled shard_map/driver
     # programs — measured 3× on the heaviest tests warm-vs-cold. The dir is
     # gitignored (like the TPU .jax_cache) but persists across rounds on
-    # this machine; min_compile_time bounds the entry count to the
-    # expensive programs.
+    # this machine. Threshold 0: the suite's compile cost is a long tail of
+    # sub-second kernel compiles (hundreds of interpret-mode pallas bodies),
+    # not a few big programs — caching everything measured another ~15% off
+    # the warm suite and the dir stays ~tens of MB.
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(
@@ -43,7 +45,7 @@ if not os.environ.get("TILEQR_TEST_TPU"):
             ".jax_cache_cpu",
         ),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.9)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 else:
     # Real-chip runs reuse the repo's persistent compile cache (the 4096²
     # static executable takes ~45 min to build through this environment's

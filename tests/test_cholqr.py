@@ -108,8 +108,10 @@ def test_tsqr_cholqr2_factor_mode(rng):
     Householder reconstruction. Gates: QᵀA = [R; 0] through apply_q, the
     Qᵀ/Q roundtrip is the identity, orgqr's Q matches mode="reduced"'s up
     to the reconstruction's fp32 rounding, and the breakdown guard falls
-    back to tree factors on a rank-deficient panel."""
-    m, n = 2048, 48
+    back to tree factors on a rank-deficient panel. (m=1024 exercises the
+    same single-gram path as the old 2048 at ~60% of the interpret cost —
+    r5 fast-suite budget.)"""
+    m, n = 1024, 48
     a = rng.standard_normal((m, n)).astype(np.float32)
     f = tileqr.tsqr(a, mode="factor", strategy="cholqr2")
     assert type(f).__name__ == "HRFactors" and len(f.panels) == 1

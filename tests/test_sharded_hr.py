@@ -179,25 +179,16 @@ def test_sharded_hr_health_and_guard(rng, monkeypatch):
     ROUTES to the stable Householder sharded driver. The fast tier pins the
     routing with a stubbed fallback target (the real hh sharded rerun was
     the single heaviest fast-suite item three rounds running, 54.8 s —
-    VERDICT r4 next-#6); the full fallback end-to-end, Gram-identity
-    verification included, is the slow twin below."""
-    import warnings
-
+    VERDICT r4 next-#6); the healthy guard-silent end-to-end arm and the
+    full fallback end-to-end, Gram-identity verification included, are the
+    slow twins below."""
     from tileqr.drivers.sharded_hr import qr_sharded_factor_hr
 
     mesh = jax.make_mesh((2, 1), ("rows", "cols"))
     cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr")
-    a = rng.standard_normal((64, 48)).astype(np.float32)
+    a = rng.standard_normal((48, 32)).astype(np.float32)
     f = qr_sharded_factor_hr(a, mesh, cfg)
     assert float(f.health) < 1e-3
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # healthy: guard must stay silent
-        r = qr_sharded(a, mesh, cfg)
-    assert np.allclose(
-        np.abs(np.asarray(r)[:48]), np.abs(np.linalg.qr(a, mode="r")),
-        atol=2e-4,
-    )
 
     # trip arm (routing only): stub the hh sharded factor target — the
     # guard decision + warning + reroute happen before it runs
@@ -216,6 +207,25 @@ def test_sharded_hr_health_and_guard(rng, monkeypatch):
     with pytest.warns(UserWarning, match="hr guard"):
         fb = qr_sharded(b, mesh, cfg, mode="factor")
     assert called.get("yes") and fb is sentinel
+
+
+@pytest.mark.slow
+def test_sharded_hr_healthy_guard_silent(rng):
+    """Slow twin of the healthy arm: a well-conditioned input runs the full
+    qr_sharded hr route with warnings-as-errors (the guard must stay
+    silent) and R matches numpy."""
+    import warnings
+
+    mesh = jax.make_mesh((2, 1), ("rows", "cols"))
+    cfg = QRConfig(nb=16, mesh_shape=(2, 1), square_method="hr")
+    a = rng.standard_normal((64, 48)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r = qr_sharded(a, mesh, cfg)
+    assert np.allclose(
+        np.abs(np.asarray(r)[:48]), np.abs(np.linalg.qr(a, mode="r")),
+        atol=2e-4,
+    )
 
 
 @pytest.mark.slow

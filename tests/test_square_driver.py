@@ -14,7 +14,19 @@ def factor(a, nb, chunk=1):
     return qr_tiled(jnp.asarray(a), nb, chunk=chunk, interpret=True)
 
 
-@pytest.mark.parametrize("m,n,nb", [(256, 256, 64), (384, 128, 64), (128, 256, 64)])
+@pytest.mark.parametrize(
+    "m,n,nb",
+    [
+        # fast tier: square multi-panel (3×3), Mt>Nt, Nt>Mt — every tile-
+        # grid orientation at the minimum panel counts that exercise the
+        # full couple/update algebra; the 4×4 square case (~2.5× the
+        # interpret cost of 3×3, no new code path) is the slow twin
+        (192, 192, 64),
+        (384, 128, 64),
+        (128, 256, 64),
+        pytest.param(256, 256, 64, marks=pytest.mark.slow),
+    ],
+)
 def test_matches_oracle_tile_by_tile(rng, m, n, nb):
     """chunk=1 reproduces the reference flat-tree algebra: R and every
     reflector tile agree with the numpy oracle."""
@@ -60,7 +72,7 @@ def test_reconstruction_and_orthogonality(rng):
 
 
 def test_qt_then_q_roundtrip(rng):
-    m, n, nb = 256, 128, 64
+    m, n, nb = 192, 128, 64
     a = rng.standard_normal((m, n)).astype(np.float32)
     packed, r_diag, t_g, panels = factor(a, nb)
     c = rng.standard_normal((m, 64)).astype(np.float32)
@@ -69,13 +81,11 @@ def test_qt_then_q_roundtrip(rng):
     assert np.linalg.norm(back - c) / np.linalg.norm(c) < 5e-6
 
 
-def test_chunked_reconstruction(rng):
+def _check_chunked_reconstruction(rng, m, n, nb, chunks):
     """chunk > 1 (tall couples) is a different, equally valid Householder
     factorization: verify reconstruction + orthogonality + QᵀA = R."""
-    m = n = 256
-    nb = 64
     a = rng.standard_normal((m, n)).astype(np.float32)
-    for chunk in (2, 4):
+    for chunk in chunks:
         packed, r_diag, t_g, panels = qr_tiled(jnp.asarray(a), nb, chunk=chunk, interpret=True)
         r = np.asarray(assemble_r(packed, r_diag, nb)).astype(np.float64)
         q = np.asarray(
@@ -89,6 +99,20 @@ def test_chunked_reconstruction(rng):
                           chunk=chunk, trans=True, interpret=True)
         ).astype(np.float64)
         assert np.linalg.norm(qta - r) / np.linalg.norm(a) < 2e-6, chunk
+
+
+def test_chunked_reconstruction(rng):
+    """Fast tier: chunk=2 at 3×3 panels sees both a FULL couple stack
+    (k=0: two sub-diagonal tiles → one stack of 2) and a ragged tail
+    (k=1: one tile) — the two chunked code paths. The 4×4/chunk=4
+    geometry (all-ragged stacks, ~3× the interpret cost) is the slow
+    twin below."""
+    _check_chunked_reconstruction(rng, 192, 192, 64, (2,))
+
+
+@pytest.mark.slow
+def test_chunked_reconstruction_chunk4(rng):
+    _check_chunked_reconstruction(rng, 256, 256, 64, (2, 4))
 
 
 def test_bitwise_determinism(rng):
@@ -110,9 +134,9 @@ def test_orgqr_triangular_window_matches_full_apply(rng):
 
     from tileqr.drivers.square import apply_q_tiled, qr_tiled
 
-    a = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((192, 192)).astype(np.float32))
     _, _, tg, panels = qr_tiled(a, 64, interpret=True)
-    eye = jnp.eye(256, dtype=jnp.float32)
+    eye = jnp.eye(192, dtype=jnp.float32)
     full = np.asarray(
         apply_q_tiled(panels, tg, eye, 64, trans=False, interpret=True)
     )

@@ -11,7 +11,11 @@ from tileqr.drivers.square_dyn import apply_q_tiled_dyn, qr_tiled_dyn
 
 
 def test_dyn_matches_static_and_roundtrips(rng):
-    m = n = 128
+    # 3×3 panels: full + ragged couple stacks at chunk=2 — the minimum
+    # geometry where the dynamic grid's couple indexing differs from a
+    # single step (r5 fast-suite budget: 4×4 was ~1.7× the interpret cost
+    # for no new code path)
+    m = n = 96
     nb, ch = 32, 2
     a = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
 

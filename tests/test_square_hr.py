@@ -431,13 +431,19 @@ def test_apply_block_wide_splitk_accuracy(rng):
     W = YᵀC through the split-K projection in _apply_block_t — the branch
     that made the static hr driver gate-grade at 16384² (BASELINE.md r3).
     The apply must stay correct vs a float64 reference through it."""
-    from tileqr.drivers.square_hr import (
-        _W_PAIR_MAX_COLS, _apply_block_t, hr_panel,
-    )
+    from tileqr.drivers.square_hr import _W_PAIR_MAX_COLS, _apply_block_t
 
     m, nb, q = 4096, 32, _W_PAIR_MAX_COLS + 32
-    p = jnp.asarray(rng.standard_normal((m, nb)).astype(np.float32))
-    y, t, _ = hr_panel(p, interpret=True)
+    # synthetic compact-WY-shaped factors (unit-lower-trapezoid Y, upper-
+    # triangular T, reflector-like scaling): the branch under test is pure
+    # linear algebra on these shapes — real hr_panel factors flow through
+    # the same branch in test_qr_hr_* and the sharded twins, and skipping
+    # the m=4096 interpret-mode panel factorization halves the test (r5
+    # fast-suite budget)
+    y_np = rng.standard_normal((m, nb)).astype(np.float32) / np.sqrt(m)
+    y_np[:nb] = np.tril(y_np[:nb], -1) + np.eye(nb, dtype=np.float32)
+    t_np = np.triu(rng.standard_normal((nb, nb)).astype(np.float32)) / nb
+    y, t = jnp.asarray(y_np), jnp.asarray(t_np)
     c = jnp.asarray(rng.standard_normal((m, q)).astype(np.float32))
     out = np.asarray(
         _apply_block_t(y, t, c, jax.lax.Precision.HIGHEST, jnp.float32,
