@@ -31,6 +31,7 @@ from tileqr.drivers.square_hr import qr_hr_chunked  # noqa: E402
 N = int(os.environ.get("TILEQR_REQUAL_N", "32768"))
 NB = int(os.environ.get("TILEQR_REQUAL_NB", "256"))
 BE = int(os.environ.get("TILEQR_REQUAL_BE", "2"))
+SP = int(os.environ.get("TILEQR_REQUAL_SP", "8"))
 FLOPS = 2.0 * N * N * (N - N / 3.0)
 INTERP = jax.default_backend() != "tpu"
 CB = min(4096, N // 2)
@@ -41,7 +42,8 @@ def sync(x):
 
 
 def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] nb={NB} be={BE}: {msg}", flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] nb={NB} be={BE} sp={SP}: {msg}",
+          flush=True)
 
 
 def free(*trees):
@@ -94,7 +96,8 @@ def main():
         ap = gen_a(buf=buf)
         t0 = time.perf_counter()
         r, panels = qr_hr_chunked(ap, NB, precision="highest",
-                                  interpret=INTERP, barrier_every=BE)
+                                  interpret=INTERP, barrier_every=BE,
+                                  seg_panels=SP)
         sync(r)
         return time.perf_counter() - t0, r, panels
 
