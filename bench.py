@@ -42,7 +42,12 @@ from tileqr.drivers.square import qr_tiled  # noqa: E402
 from tileqr.drivers.square_dyn import _qr_tiled_dyn_jit  # noqa: E402
 from tileqr.drivers.square_hr import qr_hr  # noqa: E402
 
-N = int(os.environ.get("TILEQR_BENCH_N", "16384"))
+# Default is the CONTRACT size (BASELINE.json:11): the r5 in-kernel HIGHEST
+# chunked-hr path runs 32768² warm at ~27 TFLOP/s / 14.5× over
+# jnp.linalg.qr(mode="r") (BASELINE.md r5) and its segment executables are
+# bounded-compile (seconds each, served from .jax_cache). If anything fails
+# at this size, main() falls back to the 16384² static-hr gate config.
+N = int(os.environ.get("TILEQR_BENCH_N", "32768"))
 NB = int(os.environ.get("TILEQR_BENCH_NB", "256"))
 CHUNK = int(os.environ.get("TILEQR_BENCH_CHUNK", "4"))
 PRECISION = os.environ.get("TILEQR_BENCH_PRECISION", "highest")
@@ -84,6 +89,24 @@ def per_iter_time(make_chain, x, k):
 
 
 def main():
+    try:
+        _bench(N)
+        return
+    except Exception as exc:  # contract-size safety net (HBM/tunnel)
+        if N <= 16384:
+            raise
+        print(f"# {N}x{N} bench failed ({type(exc).__name__}: "
+              f"{str(exc)[:120]}); falling back to 16384", file=sys.stderr)
+    # fall back OUTSIDE the except block: the exception's traceback pins
+    # _bench(N)'s frame (and its multi-GiB device arrays) until the handler
+    # exits — running the 16384 bench inside it would re-OOM the chip
+    import gc
+
+    gc.collect()
+    _bench(16384)
+
+
+def _bench(N):
     on_tpu = jax.default_backend() == "tpu"
     # generate ON DEVICE: the TPU tunnel's host→device bandwidth varies from
     # 23 MB/s down to ~2 MB/s (measured r3) — a 1 GiB host transfer can cost
@@ -117,7 +140,12 @@ def main():
             return dt
 
         run_chunked()  # compile (segment executables are cached)
-        t_ours = min(run_chunked() for _ in range(2))
+        # ONE timed warm run (not min-of-2): each extra 32768² run costs
+        # minutes of tunnel free-drain for its 4-GiB buffers against ~2.5%
+        # warm variance (BASELINE.md r5 campaign: 1739.8 vs 1783.2 ms) —
+        # keeping the artifact run inside the driver's bench budget matters
+        # more than the second sample
+        t_ours = run_chunked()
 
         def run_base():
             # mode="r" (geqrf, no Q formation): the factor-only comparison —
@@ -131,7 +159,7 @@ def main():
             return dt
 
         run_base()
-        t_base = min(run_base() for _ in range(2))
+        t_base = run_base()
         tflops = qr_flops(N, N) / t_ours / 1e12
         print(
             json.dumps(

@@ -160,6 +160,25 @@ def test_tsqr_auto_factor_routes_cholqr2(rng):
     assert type(fb).__name__ == "TSQRFactors"
 
 
+def test_tsqr_auto_factor_stable_when_guard_cannot_act(rng):
+    """auto+factor takes the cholqr2 fast route ONLY when the breakdown
+    backstop can actually act (r5 review finding): with hr_guard "off" or
+    "warn", or under a jax.jit trace (guard_trips cannot host-sync a
+    tracer and silently returns False), "auto" must keep the pre-r5
+    unconditionally stable tree — otherwise a cond(A) ≳ 1e3 panel would
+    silently return garbage HRFactors. Explicit strategy="cholqr2" stays
+    the documented opt-in."""
+    m, n = 512, 32
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    for guard in ("off", "warn"):
+        f = tileqr.tsqr(a, mode="factor", config=QRConfig(hr_guard=guard))
+        assert type(f).__name__ == "TSQRFactors", guard
+    f_jit = jax.jit(lambda x: tileqr.tsqr(x, mode="factor"))(a)
+    assert type(f_jit).__name__ == "TSQRFactors"
+    # eager + default hr_guard="fallback": the fast route still wins
+    assert type(tileqr.tsqr(a, mode="factor")).__name__ == "HRFactors"
+
+
 def test_qr_batched_bad_method():
     with pytest.raises(ValueError, match="batched_method"):
         tileqr.qr_batched(

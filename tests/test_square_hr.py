@@ -232,6 +232,27 @@ def test_hr_chunked_bitwise_matches_static(rng):
         assert (np.asarray(t1) == np.asarray(t2)).all()
 
 
+def test_hr_chunked_panel_anchor_still_runs(rng):
+    """r5 review finding: the use_kernel auto-default must respect
+    r_anchor — the kernel apply only implements the cholqr anchor, so
+    r_anchor="panel" at default precision="highest" has to resolve to the
+    XLA form (which IS bitwise-equal to qr_hr) instead of raising. The
+    chunked driver is the only hr route past 64 panels, so the documented
+    r_anchor A/B knob must keep working through it."""
+    from tileqr.drivers.square_hr import qr_hr_chunked
+
+    a = rng.standard_normal((128, 96)).astype(np.float32)
+    ap1, _ = pad_for_hr(jnp.asarray(a), 32)
+    r1, p1 = qr_hr(ap1, 32, interpret=True, r_anchor="panel")
+    ap2, _ = pad_for_hr(jnp.asarray(a), 32)
+    r2, p2 = qr_hr_chunked(ap2, 32, interpret=True, seg_panels=2,
+                           r_anchor="panel")
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    for (y1, t1), (y2, t2) in zip(p1, p2):
+        assert (np.asarray(y1) == np.asarray(y2)).all()
+        assert (np.asarray(t1) == np.asarray(t2)).all()
+
+
 def test_hr_chunked_kernel_highest_matches_static(rng):
     """The r5 default chunked route for precision="highest" (in-place
     Pallas whole-panel apply, VERDICT r4 missing-#1): same algebra with

@@ -350,7 +350,19 @@ def tsqr(
         # hr_guard="fallback", so the stable path still backstops. Before
         # r5 auto+factor silently ran the TREE body after resolving to
         # "chain" — the executed path now matches the resolved name.
-        return tsqr(a, mode="factor", config=cfg, strategy="cholqr2")
+        # The fast route is taken ONLY when that backstop can actually
+        # act: with hr_guard "off"/"warn", or under a jax.jit trace
+        # (tracer health — guard_trips cannot host-sync and returns
+        # False), "auto" keeps the pre-r5 unconditionally stable tree.
+        # Callers who want cholqr2 speed without the guard opt in by
+        # naming strategy="cholqr2".
+        guard_can_act = cfg.hr_guard == "fallback" and not isinstance(
+            a, jax.core.Tracer
+        )
+        return tsqr(
+            a, mode="factor", config=cfg,
+            strategy="cholqr2" if guard_can_act else "tree",
+        )
     if strategy == "cholqr2":
         from tileqr.drivers.cholqr import cholqr2_batched
 

@@ -472,8 +472,13 @@ def qr_hr_chunked(
 
     DONATES ``ap`` (and reuses it as the carry) — callers keep their
     original unpadded array; ``pad_for_hr`` always allocates a fresh
-    padded buffer. Returns (r, panels) bitwise-equal to ``qr_hr`` (pinned
-    by test)."""
+    padded buffer. With ``use_kernel=False`` (the XLA apply) the returned
+    (r, panels) are BITWISE-equal to ``qr_hr`` (pinned by test); the r5
+    default in-kernel apply (``use_kernel=None`` → True for b3/b4/highest
+    fp32 with the cholqr anchor) matches ``qr_hr`` to rounding only
+    (~1e-4 max elementwise on gaussian 1e0-scale inputs, same backward-
+    error class — pinned by test), because the kernel's Kahan-blocked W
+    accumulation orders the sums differently."""
     mp, npad = ap.shape
     if mp % nb or npad % nb:
         raise ValueError(f"padded shape {ap.shape} not a multiple of nb={nb}")
@@ -487,7 +492,12 @@ def qr_hr_chunked(
         # kernel A/B is in BASELINE.md r5). fp32 only — f64 (CPU/interpret
         # oracles) has no Mosaic lowering and stays on the XLA dots.
         use_kernel = (
-            precision in ("b3", "b4", "highest") and ap.dtype == jnp.float32
+            precision in ("b3", "b4", "highest")
+            and ap.dtype == jnp.float32
+            # the kernel apply only implements the cholqr R anchor; the
+            # r_anchor="panel" A/B knob must keep working through the
+            # chunked route (it is the only hr route past 64 panels)
+            and r_anchor == "cholqr"
         )
     k_max = min(mp, npad) // nb
     carry = ap
