@@ -489,3 +489,21 @@ def test_qr_bfloat16(rng):
     # measured — far below the old vacuous 1.0 bound, and a real regression
     # (e.g. accumulation-dtype rot → bf16 partial sums) blows past it.
     assert np.linalg.norm(q64.T @ q64 - np.eye(96)) < 0.26
+
+
+def test_public_export_surface(rng):
+    """Every name in tileqr.__all__ resolves, and the factor pytree classes
+    a user needs for isinstance routing (docs/API.md: qr_factor can return
+    HRFactors; tsqr(mode="factor") returns TSQRFactors or HRFactors) are
+    importable from the top-level namespace and are the classes the API
+    actually returns."""
+    for name in tileqr.__all__:
+        assert getattr(tileqr, name, None) is not None, name
+
+    a = rng.standard_normal((96, 64)).astype(np.float32)
+    f = tileqr.qr_factor(a, QRConfig(nb=32))
+    assert isinstance(f, (tileqr.QRFactors, tileqr.HRFactors))
+
+    t = rng.standard_normal((512, 32)).astype(np.float32)
+    ft = tileqr.tsqr(t, mode="factor", strategy="tree", config=QRConfig(nb=32))
+    assert isinstance(ft, tileqr.TSQRFactors)

@@ -20,11 +20,17 @@ Public API
 - :func:`tileqr.lstsq` — QR-based least squares.
 - :func:`tileqr.qr_sharded` — 2D block-cyclic multi-chip QR.
 - :class:`tileqr.QRConfig` — tile/tree/precision configuration.
+- :class:`tileqr.QRFactors` / :class:`tileqr.HRFactors` /
+  :class:`tileqr.TSQRFactors` — the packed factor pytrees returned by
+  :func:`qr_factor` and :func:`tsqr` (``mode="factor"``), for isinstance
+  routing before :func:`apply_q` / :func:`orgqr`.
 """
 
 from tileqr.core.config import QRConfig
 from tileqr.api import (
+    HRFactors,
     QRFactors,
+    TSQRFactors,
     apply_q,
     lstsq,
     orgqr,
@@ -39,8 +45,10 @@ from tileqr.utils.verify import orth_streamed, qr_check, relerr_streamed
 __version__ = "0.1.0"
 
 __all__ = [
+    "HRFactors",
     "QRConfig",
     "QRFactors",
+    "TSQRFactors",
     "apply_q",
     "lstsq",
     "orgqr",
