@@ -18,7 +18,9 @@ Public API
 - :func:`tileqr.qr_batched` — vmapped batched QR.
 - :func:`tileqr.orgqr` / :func:`tileqr.apply_q` — form/apply Q.
 - :func:`tileqr.lstsq` — QR-based least squares.
-- :func:`tileqr.qr_sharded` — 2D block-cyclic multi-chip QR.
+- :func:`tileqr.qr_sharded` — 2D block-cyclic multi-chip QR; consume its
+  distributed factors with :func:`tileqr.assemble_r_sharded` /
+  :func:`tileqr.apply_q_sharded`.
 - :class:`tileqr.QRConfig` — tile/tree/precision configuration.
 - :class:`tileqr.QRFactors` / :class:`tileqr.HRFactors` /
   :class:`tileqr.TSQRFactors` — the packed factor pytrees returned by
@@ -39,7 +41,11 @@ from tileqr.api import (
     qr_factor,
     tsqr,
 )
-from tileqr.drivers.sharded import qr_sharded
+from tileqr.drivers.sharded import (
+    apply_q_sharded,
+    assemble_r_sharded,
+    qr_sharded,
+)
 from tileqr.utils.verify import orth_streamed, qr_check, relerr_streamed
 
 __version__ = "0.1.0"
@@ -50,6 +56,8 @@ __all__ = [
     "QRFactors",
     "TSQRFactors",
     "apply_q",
+    "apply_q_sharded",
+    "assemble_r_sharded",
     "lstsq",
     "orgqr",
     "qr",
