@@ -507,3 +507,46 @@ def test_public_export_surface(rng):
     t = rng.standard_normal((512, 32)).astype(np.float32)
     ft = tileqr.tsqr(t, mode="factor", strategy="tree", config=QRConfig(nb=32))
     assert isinstance(ft, tileqr.TSQRFactors)
+
+
+def test_input_validation_messages(rng):
+    """Non-2-D and zero-size inputs raise clear errors at every public
+    entry point instead of obscure unpack/stack failures deep in the
+    drivers (r5 usability hardening)."""
+    import re
+
+    from tileqr.drivers.sharded import qr_sharded
+
+    vec = np.ones(16, np.float32)
+    stack = np.ones((2, 16, 16), np.float32)
+    empty = np.ones((16, 0), np.float32)
+
+    with pytest.raises(ValueError, match="2-D matrix"):
+        tileqr.qr(vec)
+    with pytest.raises(ValueError, match="qr_batched"):  # 3-D hint
+        tileqr.qr(stack)
+    with pytest.raises(ValueError, match="zero-size"):
+        tileqr.qr(empty)
+    with pytest.raises(ValueError, match="zero-size"):
+        tileqr.qr(np.ones((0, 16), np.float32))
+    with pytest.raises(ValueError, match="tsqr expects"):
+        tileqr.tsqr(vec)
+    with pytest.raises(ValueError, match=re.escape("(B, m, n)")):
+        tileqr.qr_batched(np.ones((16, 16), np.float32))
+    with pytest.raises(ValueError, match="lstsq expects"):
+        tileqr.lstsq(vec, vec)
+    with pytest.raises(ValueError, match=re.escape("(M,) or (M, P)")):
+        tileqr.lstsq(np.eye(8, dtype=np.float32), np.ones((8, 1, 1), np.float32))
+    with pytest.raises(ValueError, match="qr_sharded expects"):
+        qr_sharded(vec)
+
+    # int input is cast to the config dtype and factored correctly
+    ai = (np.arange(256).reshape(16, 16) % 7).astype(np.int32)
+    q, r = tileqr.qr(ai, config=QRConfig(nb=16))
+    a64 = ai.astype(np.float64)
+    assert q.dtype == np.float32
+    assert (
+        np.linalg.norm(a64 - np.asarray(q, np.float64) @ np.asarray(r, np.float64))
+        / np.linalg.norm(a64)
+        < 3e-6
+    )

@@ -106,6 +106,23 @@ def _cfg(config: Optional[QRConfig]) -> QRConfig:
     return config if config is not None else QRConfig()
 
 
+def _check_matrix(a, who: str) -> None:
+    """Clear errors for the two input-shape classes every entry point
+    would otherwise fail on with an obscure unpack/stack message: non-2-D
+    inputs and zero-size dimensions (the tile padding has no meaningful
+    factorization to pad toward)."""
+    shape = jnp.shape(a)
+    if len(shape) != 2:
+        hint = (
+            " — for a stack of matrices use tileqr.qr_batched"
+            if len(shape) == 3
+            else ""
+        )
+        raise ValueError(f"{who} expects a 2-D matrix, got shape {shape}{hint}")
+    if shape[0] == 0 or shape[1] == 0:
+        raise ValueError(f"{who}: zero-size dimension in input shape {shape}")
+
+
 def _guard_trips(health, cfg: QRConfig, where: str) -> bool:
     """Host check of a CholeskyQR breakdown scalar — see
     drivers/cholqr.guard_trips (shared with the sharded-hr driver)."""
@@ -116,6 +133,7 @@ def _guard_trips(health, cfg: QRConfig, where: str) -> bool:
 
 def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
     """Factor A → packed tiled Householder form (no Q/R assembly)."""
+    _check_matrix(a, "qr_factor")
     cfg = _cfg(config)
     a = jnp.asarray(a, dtype=cfg.dtype)
     m, n = a.shape
@@ -280,6 +298,7 @@ def qr(
 ):
     """Tiled blocked QR. mode: "reduced" → (Q (M,K), R (K,N)); "complete" →
     (Q (M,M), R (M,N)); "r" → R (K,N) only. K = min(M, N)."""
+    _check_matrix(a, "qr")
     cfg = _cfg(config)
     f = qr_factor(a, cfg)
     m, n = f.shape
@@ -338,6 +357,7 @@ def tsqr(
         cross-chip reduction), tree in interpret mode (keeps the tree
         covered by the CPU suite).
     """
+    _check_matrix(a, "tsqr")
     cfg = _cfg(config)
     if strategy not in ("auto", "tree", "chain", "cholqr2"):
         raise ValueError(f"unknown strategy {strategy!r} (auto/tree/chain/cholqr2)")
@@ -452,6 +472,12 @@ def qr_batched(
 ):
     """Batched QR of (B, m, n) stacks of small matrices (single-tile path,
     BASELINE.json:10)."""
+    shape = jnp.shape(a)
+    if len(shape) != 3 or 0 in shape:
+        raise ValueError(
+            f"qr_batched expects a (B, m, n) stack with no zero-size "
+            f"dimension, got shape {shape}"
+        )
     cfg = _cfg(config)
     a = jnp.asarray(a, dtype=cfg.dtype)
     b, m, n = a.shape
@@ -500,8 +526,11 @@ def lstsq(a: jnp.ndarray, b: jnp.ndarray, config: Optional[QRConfig] = None):
 
     b: (M,) or (M, P). Returns x: (N,) or (N, P). (SURVEY.md §3.4: apply Qᵀ
     to b through the tiled reflectors, then back-solve on R.)"""
+    _check_matrix(a, "lstsq")
     cfg = _cfg(config)
     b_in = jnp.asarray(b, dtype=cfg.dtype)
+    if b_in.ndim not in (1, 2):
+        raise ValueError(f"lstsq: b must be (M,) or (M, P), got shape {b_in.shape}")
     vec = b_in.ndim == 1
     bmat = b_in[:, None] if vec else b_in
     m, n = a.shape

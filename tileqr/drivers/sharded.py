@@ -393,6 +393,12 @@ def qr_sharded(
     past AUTO_STATIC_MAX_PANELS panels — so the BASELINE.json:11 contract
     size (128 panels) compiles in seconds instead of not at all.
     """
+    shape = jnp.shape(a)
+    if len(shape) != 2 or 0 in shape:
+        raise ValueError(
+            f"qr_sharded expects a 2-D matrix with no zero-size dimension, "
+            f"got shape {shape}"
+        )
     cfg = config if config is not None else QRConfig()
     m, n = a.shape
     if cfg.square_method == "hr":
