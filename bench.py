@@ -32,11 +32,16 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# persistent compilation cache: the 64-panel executables take minutes through
-# this environment's remote-compile service; cache entries live in the repo
-# so repeat bench runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _configure_cache():
+    """Persistent compilation cache: the 64-panel executables take minutes
+    through this environment's remote-compile service; cache entries live in
+    the repo so repeat bench runs skip recompilation. Called from main(), NOT
+    at import time — importing this module (test_bench does) must not clobber
+    the pytest conftest's CPU cache settings for the rest of the suite."""
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tileqr.drivers.square import qr_tiled  # noqa: E402
 from tileqr.drivers.square_dyn import _qr_tiled_dyn_jit  # noqa: E402
@@ -89,6 +94,7 @@ def per_iter_time(make_chain, x, k):
 
 
 def main():
+    _configure_cache()
     try:
         _bench(N)
         return

@@ -76,9 +76,17 @@ def test_root_bench_contract_size_fallback(monkeypatch):
     import os
     import sys as _sys
 
+    import jax
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     _sys.path.insert(0, repo)
+    cache_dir = jax.config.jax_compilation_cache_dir
     bench = importlib.import_module("bench")
+    # importing bench must not clobber the conftest's CPU cache settings
+    # for the rest of the suite (r5 review: the module-level config.update
+    # calls moved into main via _configure_cache)
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    monkeypatch.setattr(bench, "_configure_cache", lambda: None)
     calls = []
 
     def fake_bench(n):

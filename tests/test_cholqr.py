@@ -175,6 +175,11 @@ def test_tsqr_auto_factor_stable_when_guard_cannot_act(rng):
         assert type(f).__name__ == "TSQRFactors", guard
     f_jit = jax.jit(lambda x: tileqr.tsqr(x, mode="factor"))(a)
     assert type(f_jit).__name__ == "TSQRFactors"
+    # closure-captured CONCRETE input under jit (r5 review): `a` is not a
+    # Tracer, but the health scalar the guard reads would still emerge as
+    # one — the routing must consult the trace state, not the input type
+    f_closure = jax.jit(lambda: tileqr.tsqr(a, mode="factor"))()
+    assert type(f_closure).__name__ == "TSQRFactors"
     # eager + default hr_guard="fallback": the fast route still wins
     assert type(tileqr.tsqr(a, mode="factor")).__name__ == "HRFactors"
 

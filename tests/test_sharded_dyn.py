@@ -163,3 +163,24 @@ def test_sharded_dyn_128_panels(rng):
     tail = np.linalg.norm(qta[nd:]) / np.linalg.norm(a)
     assert rel < 1e-6, rel
     assert tail < 1e-6, tail
+
+
+def test_mesh_from_factors_abstract_mesh_falls_back():
+    """mesh_from_factors must fall back to a fresh mesh when the factors'
+    sharding carries an AbstractMesh (AOT/sharding-annotated flows): the
+    pre-fix `hasattr(m, "devices")` probe CRASHED there — AbstractMesh
+    .devices raises ValueError, which hasattr propagates (it only swallows
+    AttributeError)."""
+    import jax
+
+    from tileqr.drivers.sharded_dyn import mesh_from_factors
+
+    class _FakeSharding:
+        mesh = jax.sharding.AbstractMesh((2, 2), ("rows", "cols"))
+
+    class _FakeLocal:
+        sharding = _FakeSharding()
+
+    m = mesh_from_factors(_FakeLocal(), 2, 2)
+    assert isinstance(m, jax.sharding.Mesh)
+    assert tuple(m.devices.shape) == (2, 2)

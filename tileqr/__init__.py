@@ -60,11 +60,11 @@ __all__ = [
     "assemble_r_sharded",
     "lstsq",
     "orgqr",
+    "orth_streamed",
     "qr",
     "qr_batched",
-    "qr_factor",
-    "orth_streamed",
     "qr_check",
+    "qr_factor",
     "qr_sharded",
     "relerr_streamed",
     "tsqr",

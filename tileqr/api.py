@@ -123,6 +123,19 @@ def _check_matrix(a, who: str) -> None:
         raise ValueError(f"{who}: zero-size dimension in input shape {shape}")
 
 
+def _tracing_active() -> bool:
+    """True when ANY jax trace is active — the predicate the tsqr auto
+    routing needs (isinstance(a, Tracer) misses closure-captured concrete
+    inputs under jit). Falls back to False (the pre-fix behavior) if the
+    private helper ever moves."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return not trace_state_clean()
+    except Exception:
+        return False
+
+
 def _guard_trips(health, cfg: QRConfig, where: str) -> bool:
     """Host check of a CholeskyQR breakdown scalar — see
     drivers/cholqr.guard_trips (shared with the sharded-hr driver)."""
@@ -157,8 +170,12 @@ def qr_factor(a: jnp.ndarray, config: Optional[QRConfig] = None) -> QRFactors:
         if cfg.resolve_driver(m, n) == "dynamic":
             # bounded-compile twin (same policy as the hh path): the
             # trace-unrolled qr_hr at 128 panels OOMs the XLA compile
-            # itself; the segmented driver is bitwise-identical (pinned by
-            # test) and compiles O(k_max/8) small programs. b3 follows the
+            # itself; the segmented driver compiles O(k_max/8) small
+            # programs. Equivalence to qr_hr is bitwise with
+            # use_kernel=False (pinned by test); at the r5 default
+            # (in-kernel HIGHEST apply) it is rounding-level only — the
+            # kernel orders the cross-block accumulation differently.
+            # b3 follows the
             # SAME panel-count rule as "highest" since r4: both drivers run
             # the identical Pallas panel-apply kernel (chunked in-place,
             # static in value form), and the r4 measurement
@@ -375,9 +392,14 @@ def tsqr(
         # (tracer health — guard_trips cannot host-sync and returns
         # False), "auto" keeps the pre-r5 unconditionally stable tree.
         # Callers who want cholqr2 speed without the guard opt in by
-        # naming strategy="cholqr2".
-        guard_can_act = cfg.hr_guard == "fallback" and not isinstance(
-            a, jax.core.Tracer
+        # naming strategy="cholqr2". The trace test must look at the
+        # TRACE STATE, not just the input: a concrete array captured by
+        # closure under jit is not a Tracer, but the health scalar the
+        # guard reads would still emerge as one.
+        guard_can_act = (
+            cfg.hr_guard == "fallback"
+            and not isinstance(a, jax.core.Tracer)
+            and not _tracing_active()
         )
         return tsqr(
             a, mode="factor", config=cfg,

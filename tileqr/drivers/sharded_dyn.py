@@ -463,7 +463,9 @@ def mesh_from_factors(local, pr: int, pc: int) -> Mesh:
     arrays (single-device / interpret runs) or mismatched geometry."""
     sh = getattr(local, "sharding", None)
     m = getattr(sh, "mesh", None)
-    if m is not None and hasattr(m, "devices"):  # AbstractMesh has none
+    # isinstance, not hasattr: AbstractMesh.devices RAISES ValueError
+    # (which hasattr propagates — it only swallows AttributeError)
+    if isinstance(m, Mesh):
         try:
             if (
                 tuple(m.axis_names) == ("rows", "cols")
